@@ -1,0 +1,18 @@
+from humangaussian_tpu.ops.projection import (
+    RasterizeConfig,
+    ProjectedGaussians,
+    project_gaussians,
+)
+from humangaussian_tpu.ops.rasterize_ref import rasterize_reference
+from humangaussian_tpu.ops.rasterize import rasterize
+from humangaussian_tpu.ops.knn import mean_3nn_sq_dist, mean_3nn_sq_dist_host
+
+__all__ = [
+    "RasterizeConfig",
+    "ProjectedGaussians",
+    "project_gaussians",
+    "rasterize_reference",
+    "rasterize",
+    "mean_3nn_sq_dist",
+    "mean_3nn_sq_dist_host",
+]

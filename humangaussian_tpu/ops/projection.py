@@ -1,0 +1,204 @@
+"""Per-Gaussian screen-space preprocessing ("project") for splatting.
+
+Computes, for every (padded) Gaussian, the 2D screen mean, view-space
+depth, 2D covariance inverse (conic), screen radius, view-dependent RGB,
+and the tile rectangle it may touch. Fully batched/differentiable JAX —
+on TPU this is a handful of fused VPU passes plus tiny matmuls.
+
+Semantics are those of the CUDA reference preprocess
+(diff-gaussian-rasterization forward.cu, called from
+/root/reference/gaussiansplatting/gaussian_renderer/__init__.py:86-94):
+
+- near cull at view z <= 0.2;
+- EWA: cov2D = J W Sigma W^T J^T with the t.x/t.z clamp at 1.3*tan(fov/2),
+  then +0.3 dilation on the diagonal;
+- radius = ceil(3 * sqrt(max eigenvalue)) of the dilated cov2D;
+- pixel coords via ndc2Pix(v, S) = ((v+1)*S - 1)/2;
+- SH -> RGB with +0.5 offset and clamp at 0 (clamped channels get zero
+  gradient, as the CUDA backward does);
+- Gaussians whose tile rectangle is empty are invisible (radius 0).
+
+One deliberate, documented deviation: screen radius is clamped to
+`cfg.max_radius_px` so that the tile rectangle never exceeds a static
+`max_tiles_per_gaussian` — the price of recompile-free static shapes on
+TPU. The pure-JAX oracle applies the identical clamp, so the whole
+framework is self-consistent; at the reference's training scales
+(gaussians pruned above 20 px radius, gaussian_model.py:399-413) the
+clamp is inactive.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from humangaussian_tpu.core.camera import Camera
+from humangaussian_tpu.core.scene import covariance_from_scaling_rotation
+from humangaussian_tpu.core.sh import eval_sh
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizeConfig:
+    """Static rasterization parameters (hashable; part of jit closure)."""
+
+    tile: int = 32  # pixel tile edge (tiles are tile x tile)
+    max_tiles_per_gaussian: int = 16  # static cap on rect area (s*s)
+    pair_factor: int = 8  # pair-buffer capacity = N * pair_factor
+    near: float = 0.2  # CUDA near-cull plane
+    alpha_min: float = 1.0 / 255.0  # contribution threshold
+    alpha_max: float = 0.99  # alpha clamp
+    transmittance_eps: float = 1e-4  # early-stop threshold on T
+
+    @property
+    def rect_side(self) -> int:
+        s = int(self.max_tiles_per_gaussian**0.5)
+        if s * s != self.max_tiles_per_gaussian:
+            raise ValueError("max_tiles_per_gaussian must be a square number")
+        return s
+
+    @property
+    def max_radius_px(self) -> float:
+        # rect width w = floor((px+r-1)/T) - floor((px-r)/T) + 1
+        #             <= floor((2r-1)/T) + 2;  w <= s  iff  r <= (s-1)*T/2.
+        return (self.rect_side - 1) * self.tile / 2.0
+
+
+class ProjectedGaussians(NamedTuple):
+    """Per-Gaussian screen primitives ([N]-shaped, padded like the scene)."""
+
+    means2d: jnp.ndarray  # [N,2] pixel coords
+    depths: jnp.ndarray  # [N] view-space z
+    conics: jnp.ndarray  # [N,3] inverse 2D covariance (a, b, c)
+    radii: jnp.ndarray  # [N] int32 screen radius, 0 = culled
+    rgb: jnp.ndarray  # [N,3] view-dependent color (clamped >= 0)
+    opacities: jnp.ndarray  # [N]
+    rect: jnp.ndarray  # [N,4] int32 tile rect (x0, y0, x1, y1), x1/y1 excl.
+    visible: jnp.ndarray  # [N] bool
+
+
+def project_gaussians(
+    means: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    features: jnp.ndarray,
+    opacities: jnp.ndarray,
+    alive: jnp.ndarray,
+    camera: Camera,
+    sh_degree: int,
+    cfg: RasterizeConfig = RasterizeConfig(),
+    scale_modifier: float = 1.0,
+    means2d_offset: jnp.ndarray | None = None,
+) -> ProjectedGaussians:
+    """Project padded Gaussians into screen space.
+
+    `means2d_offset` ([N,2], typically zeros) is the screen-space gradient
+    tap: adding it to the projected means lets the caller read
+    d(loss)/d(means2d) via autodiff — the functional equivalent of the
+    reference's `screenspace_points.retain_grad()` trick
+    (gaussian_renderer/__init__.py:26-30).
+    """
+    n = means.shape[0]
+    f32 = jnp.float32
+    view = camera.view.astype(f32)
+    full_proj = camera.full_proj.astype(f32)
+    w, h = camera.width, camera.height
+    focal_x = camera.focal_x
+    focal_y = camera.focal_y
+
+    # --- view/clip transforms (row-vector convention) -----------------
+    ones = jnp.ones((n, 1), f32)
+    hom = jnp.concatenate([means.astype(f32), ones], axis=1)
+    p_view = hom @ view[:, :3]  # [N,3]
+    p_hom = hom @ full_proj  # [N,4]
+    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
+    p_proj = p_hom[:, :3] * p_w[:, None]
+
+    depth = p_view[:, 2]
+    in_front = depth > cfg.near
+
+    # --- 3D covariance -> EWA 2D covariance ---------------------------
+    cov3d = covariance_from_scaling_rotation(scales, quats, scale_modifier)
+
+    limx = 1.3 * camera.tan_fovx
+    limy = 1.3 * camera.tan_fovy
+    z_safe = jnp.where(in_front, depth, 1.0)
+    txtz = jnp.clip(p_view[:, 0] / z_safe, -limx, limx) * z_safe
+    tytz = jnp.clip(p_view[:, 1] / z_safe, -limy, limy) * z_safe
+
+    inv_z = 1.0 / z_safe
+    inv_z2 = inv_z * inv_z
+    zeros = jnp.zeros_like(inv_z)
+    # J: d(pixel)/d(view) Jacobian rows (2x3), per Gaussian
+    j_mat = jnp.stack(
+        [
+            jnp.stack([focal_x * inv_z, zeros, -focal_x * txtz * inv_z2], axis=-1),
+            jnp.stack([zeros, focal_y * inv_z, -focal_y * tytz * inv_z2], axis=-1),
+        ],
+        axis=-2,
+    )  # [N,2,3]
+    w_rot = view[:3, :3].T  # world->cam rotation (un-transposed)
+    jw = j_mat @ w_rot  # [N,2,3]
+    cov2d = jw @ cov3d @ jnp.swapaxes(jw, -1, -2)  # [N,2,2]
+    cov_a = cov2d[:, 0, 0] + 0.3
+    cov_b = cov2d[:, 0, 1]
+    cov_c = cov2d[:, 1, 1] + 0.3
+
+    det = cov_a * cov_c - cov_b * cov_b
+    det_ok = det > 0.0
+    det_safe = jnp.where(det_ok, det, 1.0)
+    inv_det = 1.0 / det_safe
+    conic = jnp.stack([cov_c * inv_det, -cov_b * inv_det, cov_a * inv_det], axis=-1)
+
+    mid = 0.5 * (cov_a + cov_c)
+    lam_max = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det_safe))
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(lam_max))
+    radius_f = jnp.minimum(radius_f, cfg.max_radius_px)  # static-shape cap
+
+    # --- screen position (ndc2Pix) -------------------------------------
+    mean2d = jnp.stack(
+        [
+            ((p_proj[:, 0] + 1.0) * w - 1.0) * 0.5,
+            ((p_proj[:, 1] + 1.0) * h - 1.0) * 0.5,
+        ],
+        axis=-1,
+    )
+    if means2d_offset is not None:
+        mean2d = mean2d + means2d_offset
+
+    # --- tile rectangle (stop-grad integers) ---------------------------
+    tiles_x = -(-w // cfg.tile)
+    tiles_y = -(-h // cfg.tile)
+    r_i = jax.lax.stop_gradient(radius_f)
+    mx = jax.lax.stop_gradient(mean2d)
+    x0 = jnp.clip(((mx[:, 0] - r_i) / cfg.tile).astype(jnp.int32), 0, tiles_x)
+    y0 = jnp.clip(((mx[:, 1] - r_i) / cfg.tile).astype(jnp.int32), 0, tiles_y)
+    x1 = jnp.clip(
+        ((mx[:, 0] + r_i + cfg.tile - 1) / cfg.tile).astype(jnp.int32), 0, tiles_x
+    )
+    y1 = jnp.clip(
+        ((mx[:, 1] + r_i + cfg.tile - 1) / cfg.tile).astype(jnp.int32), 0, tiles_y
+    )
+    rect_nonempty = (x1 > x0) & (y1 > y0)
+
+    visible = alive & in_front & det_ok & (radius_f > 0) & rect_nonempty
+    radii = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
+    rect = jnp.stack([x0, y0, x1, y1], axis=-1) * visible[:, None].astype(jnp.int32)
+
+    # --- SH -> RGB ------------------------------------------------------
+    dirs = means - camera.campos[None, :]
+    dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+    rgb_raw = eval_sh(sh_degree, features, dirs) + 0.5
+    rgb = jnp.maximum(rgb_raw, 0.0)  # clamp -> zero grad below 0, like CUDA
+
+    return ProjectedGaussians(
+        means2d=mean2d,
+        depths=depth,
+        conics=conic,
+        radii=radii,
+        rgb=rgb,
+        opacities=opacities.reshape(-1),
+        rect=rect,
+        visible=visible,
+    )
