@@ -1,0 +1,3 @@
+from humangaussian_tpu.io.ply import save_ply, load_ply
+
+__all__ = ["save_ply", "load_ply"]
