@@ -1,0 +1,227 @@
+"""Structure-Aware SDS guidance: ANPG / SDS gradients + reparam loss.
+
+JAX re-implementation of the reference's dual-branch guidance object
+(/root/reference/threestudio/models/guidance/dual_branch_guidance.py).
+The heavy state (UNet/VAE modules + params + schedule) lives in a
+`DualBranchGuidance` dataclass; the math is pure functions so the whole
+guidance step jits into the training program.
+
+Pipeline per step (reference __call__, :733-831):
+  1. resize rgb & depth renders to 512^2, VAE-encode both; depth latents
+     renormalized to the rgb latent statistics (:749-771, constants :22-27);
+  2. encode the skeleton pose image -> `whole_latents`, renormalized, and
+     channel-concat onto BOTH noisy latents as conditioning (:364-369);
+  3. sample t ~ U[min_step, max_step] per batch element (:773-780);
+  4. one batched UNet forward on 3B inputs ([cond | neg | null] text
+     embeddings) -> ANPG gradient (:380-407):
+       delta_c = s * (e_text - e_null)
+       delta_d = t < 200 ? e_null : (e_null - e_neg)
+       grad    = w(t) * (delta_c + delta_d),  w = 1 - alpha_bar_t
+     with optional per-pixel norm clamp (:408-410);
+  5. reparameterized SDS loss so autodiff carries `grad` into the
+     renderer: 0.5*||latents - sg(latents - g_rgb)||^2_sum / B
+     + lw_depth*||depth_latents - sg(... - g_depth)||^2_sum / B (:799-810).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from humangaussian_tpu.guidance.schedule import DiffusionSchedule
+from humangaussian_tpu.guidance.vae import sample_latent
+
+# latent-space normalization constants (dual_branch_guidance.py:22-27)
+RGB_MEAN = 0.14654
+RGB_STD = 1.03744
+WHOLE_MEAN = -0.2481
+WHOLE_STD = 1.45647
+DEPTH_MEAN = 0.21360
+DEPTH_STD = 1.20629
+
+VAE_SCALE = 0.18215  # sd-vae-ft-mse scaling_factor
+
+
+@dataclasses.dataclass(frozen=True)
+class GuidanceConfig:
+    """Mirrors the used fields of dual_branch_guidance.py:44-83."""
+
+    guidance_scale: float = 100.0
+    weighting_strategy: str = "sds"
+    lw_depth: float = 0.5
+    grad_clip_pixel: bool = True
+    grad_clip_threshold: float = 1.0
+    original_size: int = 1024
+    target_size: int = 1024
+    anpg_boundary_t: int = 200  # mask threshold in compute_grad_anpg:397
+    mode: str = "anpg"  # "anpg" | "sds"
+    guidance_rescale: float = 0.0
+    latent_size: int = 64
+    image_size: int = 512
+
+
+@dataclasses.dataclass
+class DualBranchGuidance:
+    """Bundles modules+params; methods are jit-friendly pure functions."""
+
+    unet: Any  # DualBranchUNet module
+    unet_params: Any
+    vae: Any  # AutoencoderKL module
+    vae_params: Any
+    schedule: DiffusionSchedule
+    cfg: GuidanceConfig = GuidanceConfig()
+
+    # ---- VAE transport (dual_branch_guidance.py:237-249) --------------
+    def encode_images(self, imgs, rng):
+        """[B,H,W,3] in [0,1] -> sampled latents [B,h,w,4] * VAE_SCALE."""
+        mean, logvar = self.vae.apply(
+            self.vae_params, imgs * 2.0 - 1.0, method=self.vae.encode
+        )
+        return sample_latent(mean, logvar, rng) * VAE_SCALE
+
+    def decode_latents(self, latents):
+        img = self.vae.apply(
+            self.vae_params, latents / VAE_SCALE, method=self.vae.decode
+        )
+        return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+
+    # ---- UNet scoring --------------------------------------------------
+    def _unet_eps(self, rgb_lat_in, depth_lat_in, t3, text_embeddings):
+        b3 = rgb_lat_in.shape[0]
+        time_ids = jnp.tile(
+            jnp.array(
+                [[self.cfg.original_size, self.cfg.original_size, 0, 0,
+                  self.cfg.target_size, self.cfg.target_size]],
+                jnp.float32,
+            ),
+            (b3, 1),
+        )
+        out = self.unet.apply(
+            self.unet_params, rgb_lat_in, depth_lat_in, t3, text_embeddings,
+            time_ids,
+        )  # [3B,h,w,8]
+        return out
+
+    def compute_grad(self, latents, depth_latents, whole_latents, t,
+                     text_embeddings, rng):
+        """ANPG (or plain CFG-SDS) gradient for both branches.
+
+        latents/depth_latents: [B,h,w,4]; whole_latents: [B,h,w,4];
+        text_embeddings: [3B,L,D] in [cond | neg/uncond | null] order;
+        t: [B] int. Returns grad [B,h,w,8].
+        """
+        b = latents.shape[0]
+        k_noise, k_dnoise = jax.random.split(rng)
+        noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
+        dnoise = jax.random.normal(k_dnoise, depth_latents.shape, jnp.float32)
+        latents_noisy = self.schedule.add_noise(latents, noise, t)
+        depth_noisy = self.schedule.add_noise(depth_latents, dnoise, t)
+
+        lat_in = jnp.concatenate(
+            [jnp.tile(latents_noisy, (3, 1, 1, 1)),
+             jnp.tile(whole_latents, (3, 1, 1, 1))], axis=-1
+        )
+        dep_in = jnp.concatenate(
+            [jnp.tile(depth_noisy, (3, 1, 1, 1)),
+             jnp.tile(whole_latents, (3, 1, 1, 1))], axis=-1
+        )
+        t3 = jnp.tile(t, (3,))
+        pred = self._unet_eps(lat_in, dep_in, t3, text_embeddings)
+        e_text, e_neg, e_null = jnp.split(pred, 3, axis=0)
+
+        if self.cfg.mode == "anpg":
+            # NFSD decomposition (compute_grad_anpg:383-397)
+            delta_c = self.cfg.guidance_scale * (e_text - e_null)
+            mask = (t < self.cfg.anpg_boundary_t).astype(jnp.float32)
+            mask = mask.reshape(b, 1, 1, 1)
+            delta_d = mask * e_null + (1.0 - mask) * (e_null - e_neg)
+            score = delta_c + delta_d
+        elif self.cfg.mode == "sds":
+            # plain CFG against the uncond/neg slot (compute_grad_sds)
+            noise_pred = e_null + self.cfg.guidance_scale * (e_text - e_null)
+            noise_all = jnp.concatenate([noise, dnoise], axis=-1)
+            score = noise_pred - noise_all
+        else:
+            raise ValueError(f"unknown guidance mode {self.cfg.mode!r}")
+
+        w = self.schedule.sds_weight(t, self.cfg.weighting_strategy)
+        grad = w.reshape(b, 1, 1, 1) * score
+        if self.cfg.grad_clip_pixel:
+            # per-pixel norm clamp over channels (:408-410)
+            gnorm = jnp.linalg.norm(grad, axis=-1, keepdims=True) + 1e-8
+            grad = (
+                jnp.minimum(gnorm, self.cfg.grad_clip_threshold) * grad / gnorm
+            )
+        return jnp.nan_to_num(grad)
+
+    # ---- the public step ----------------------------------------------
+    def __call__(
+        self,
+        pose_image,  # [B,H,W,3] skeleton conditioning render
+        rgb,  # [B,H,W,3] differentiable render
+        depth,  # [B,H,W,3] normalized depth, 3-channel
+        text_embeddings,  # [3B,L,D] = [cond | neg | null]
+        t,  # [B] int timesteps
+        rng,
+        grad_clip_val=None,
+    ):
+        b = rgb.shape[0]
+        s = self.cfg.image_size
+        k_rgb, k_depth, k_pose, k_grad = jax.random.split(rng, 4)
+
+        def resize(x):
+            return jax.image.resize(x, (b, s, s, 3), "bilinear")
+
+        latents = self.encode_images(resize(rgb), k_rgb)
+        depth_latents = self.encode_images(resize(depth), k_depth)
+        depth_latents = (
+            (depth_latents - DEPTH_MEAN) / DEPTH_STD * RGB_STD + RGB_MEAN
+        )
+        whole_latents = self.encode_images(resize(pose_image), k_pose)
+        whole_latents = (
+            (whole_latents - WHOLE_MEAN) / WHOLE_STD * RGB_STD + RGB_MEAN
+        )
+        whole_latents = jax.lax.stop_gradient(whole_latents)
+
+        grad = self.compute_grad(
+            jax.lax.stop_gradient(latents),
+            jax.lax.stop_gradient(depth_latents),
+            whole_latents,
+            t,
+            text_embeddings,
+            k_grad,
+        )
+        if grad_clip_val is not None:
+            grad = jnp.clip(grad, -grad_clip_val, grad_clip_val)
+        g_rgb, g_depth = grad[..., :4], grad[..., 4:8]
+
+        # reparameterized SDS loss (:799-810)
+        target = jax.lax.stop_gradient(latents - g_rgb)
+        loss_sds = 0.5 * jnp.sum((latents - target) ** 2) / b
+        d_target = jax.lax.stop_gradient(depth_latents - g_depth)
+        loss_sds = loss_sds + self.cfg.lw_depth * jnp.sum(
+            (depth_latents - d_target) ** 2
+        ) / b
+        return {
+            "loss_sds": loss_sds,
+            "grad_norm": jnp.linalg.norm(grad),
+            "grad": jax.lax.stop_gradient(grad),
+        }
+
+
+def sample_timesteps(rng, batch, min_step: int, max_step: int):
+    """t ~ U[min_step, max_step] inclusive (dual_branch_guidance.py:773-780)."""
+    return jax.random.randint(rng, (batch,), min_step, max_step + 1)
+
+
+def min_max_steps(
+    num_train_timesteps: int, min_percent: float, max_percent: float
+):
+    """set_min_max_steps (dual_branch_guidance.py:196-199); the system
+    anneals max 0.98 -> 0.5 after step 1500 (GaussianDreamer.py:320-321)."""
+    return (
+        int(num_train_timesteps * min_percent),
+        int(num_train_timesteps * max_percent),
+    )

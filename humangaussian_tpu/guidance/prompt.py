@@ -1,0 +1,233 @@
+"""Prompt processing: view-dependent CLIP text embeddings with disk cache.
+
+Re-designs /root/reference/threestudio/models/prompt_processors/base.py +
+texture_structure_prompt_processor.py for the TPU stack:
+
+- four DirectionConfigs (side / front / back / overhead) selected per
+  camera by azimuth/elevation thresholds (base.py:231-299; defaults 45/
+  45/60 deg, :189-193); later directions override earlier ones, so
+  "side" is the catch-all;
+- embeddings are computed ONCE on the host by a frozen CLIP text encoder
+  (the reference spawns a subprocess + md5-keyed disk cache,
+  :344-394; we run the HF encoder in-process on CPU and cache npz);
+- `get_text_embeddings` returns the 3-segment [cond | neg | null]
+  batch layout the ANPG guidance expects (base.py:78-83 — note the
+  comment there: this order is specific to this pipeline);
+- "lib:" prompts resolve through a JSON prompt library with magic-word
+  scoring (base.py:423-442).
+
+The direction SELECTION is pure jnp (jit-safe inside the train step);
+encoding itself is host-side setup, like the reference.
+"""
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+from typing import Callable, NamedTuple, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def shift_azimuth_deg(azimuth):
+    """Map azimuth degrees into (-180, 180] (base.py misc)."""
+    return (azimuth + 180.0) % 360.0 - 180.0
+
+
+@dataclasses.dataclass(frozen=True)
+class DirectionConfig:
+    name: str
+    prompt: Callable[[str], str]
+    negative_prompt: Callable[[str], str]
+
+
+def directions(front_style: bool = False) -> Sequence[DirectionConfig]:
+    """The four view-dependent prompt decorations (base.py:231-299)."""
+    if front_style:  # "side view of {s}"
+        fmt = lambda d: (lambda s, d=d: f"{d} view of {s}")
+    else:  # "{s}, side view"
+        fmt = lambda d: (lambda s, d=d: f"{s}, {d} view")
+    return (
+        DirectionConfig("side", fmt("side"), lambda s: s),
+        DirectionConfig("front", fmt("front"), lambda s: s),
+        DirectionConfig(
+            "back", fmt("backside" if front_style else "back"), lambda s: s
+        ),
+        DirectionConfig("overhead", fmt("overhead"), lambda s: s),
+    )
+
+
+def direction_index(
+    elevation,
+    azimuth,
+    overhead_threshold: float = 60.0,
+    front_threshold: float = 45.0,
+    back_threshold: float = 45.0,
+):
+    """[B] direction ids (0 side, 1 front, 2 back, 3 overhead); later
+    conditions override earlier, as in base.py:53-66."""
+    az = shift_azimuth_deg(azimuth)
+    idx = jnp.zeros(jnp.shape(elevation), jnp.int32)  # side = everywhere
+    idx = jnp.where((az > -front_threshold) & (az < front_threshold), 1, idx)
+    idx = jnp.where(
+        (az > 180.0 - back_threshold) | (az < -180.0 + back_threshold), 2, idx
+    )
+    idx = jnp.where(elevation > overhead_threshold, 3, idx)
+    return idx
+
+
+class PromptEmbeddings(NamedTuple):
+    """Precomputed embeddings; all [*, L, D] float32 jnp arrays."""
+
+    text_vd: jnp.ndarray  # [4,L,D] view-dependent cond
+    uncond_vd: jnp.ndarray  # [4,L,D] view-dependent negative
+    text: jnp.ndarray  # [L,D] plain cond
+    uncond: jnp.ndarray  # [L,D] plain negative
+    null: jnp.ndarray  # [L,D] empty prompt
+
+    def get_text_embeddings(
+        self, elevation, azimuth, camera_distances=None,
+        view_dependent_prompting: bool = True, **thresholds
+    ):
+        """[3B,L,D] in [cond | neg | null] order (base.py:78-83)."""
+        b = jnp.shape(elevation)[0]
+        if view_dependent_prompting:
+            idx = direction_index(elevation, azimuth, **thresholds)
+            cond = self.text_vd[idx]
+            neg = self.uncond_vd[idx]
+        else:
+            cond = jnp.broadcast_to(self.text, (b,) + self.text.shape)
+            neg = jnp.broadcast_to(self.uncond, (b,) + self.uncond.shape)
+        null = jnp.broadcast_to(self.null, (b,) + self.null.shape)
+        return jnp.concatenate([cond, neg, null], axis=0)
+
+
+@dataclasses.dataclass
+class PromptProcessorConfig:
+    prompt: str = ""
+    negative_prompt: str = ""
+    model_path: str = ""  # local HF dir with tokenizer/ + text_encoder/
+    overhead_threshold: float = 60.0
+    front_threshold: float = 45.0
+    back_threshold: float = 45.0
+    view_dependent_prompt_front: bool = False
+    cache_dir: str = ".humangaussian_cache/text_embeddings"
+    prompt_library_path: str = ""  # JSON for "lib:" prompts
+    use_cache: bool = True
+
+
+def _hash_prompt(model: str, prompt: str) -> str:
+    return hashlib.md5(f"{model}-{prompt}".encode()).hexdigest()
+
+
+def resolve_library_prompt(prompt: str, library_path: str) -> str:
+    """'lib:keyword1_keyword2' -> best-matching library prompt
+    (base.py:423-442: candidates containing ALL keywords; error on 0)."""
+    if not prompt.startswith("lib:"):
+        return prompt
+    with open(library_path) as f:
+        library = json.load(f)
+    keywords = prompt[4:].lower().split("_")
+    candidates = [
+        p
+        for group in library.values()
+        for p in group
+        if all(k in p.lower() for k in keywords)
+    ]
+    if not candidates:
+        raise ValueError(f"no library prompt matches {prompt!r}")
+    return candidates[0]
+
+
+def hf_clip_encode_fn(model_path: str) -> Callable[[list[str]], np.ndarray]:
+    """Build a host-side CLIP text encoder from a local HF checkpoint
+    (tokenizer + CLIPTextModel, torch CPU) — the in-process analogue of
+    the reference's spawn_func (texture_structure_prompt_processor.py:85-116)."""
+
+    def encode(prompts: list[str]) -> np.ndarray:
+        import torch
+        from transformers import AutoTokenizer, CLIPTextModel
+
+        tok_path = os.path.join(model_path, "tokenizer")
+        enc_path = os.path.join(model_path, "text_encoder")
+        tokenizer = AutoTokenizer.from_pretrained(
+            tok_path if os.path.isdir(tok_path) else model_path
+        )
+        encoder = CLIPTextModel.from_pretrained(
+            enc_path if os.path.isdir(enc_path) else model_path
+        )
+        encoder.eval()
+        with torch.no_grad():
+            tokens = tokenizer(
+                prompts,
+                padding="max_length",
+                max_length=tokenizer.model_max_length,
+                truncation=True,
+                return_tensors="pt",
+            )
+            out = encoder(tokens.input_ids)[0]
+        return out.float().numpy()
+
+    return encode
+
+
+class PromptProcessor:
+    """Host-side precompute; produces a jit-friendly PromptEmbeddings."""
+
+    def __init__(
+        self,
+        cfg: PromptProcessorConfig,
+        encode_fn: Callable[[list[str]], np.ndarray] | None = None,
+    ):
+        self.cfg = cfg
+        self.encode_fn = encode_fn or hf_clip_encode_fn(cfg.model_path)
+        prompt = cfg.prompt
+        if prompt.startswith("lib:"):
+            prompt = resolve_library_prompt(prompt, cfg.prompt_library_path)
+        self.prompt = prompt
+        self.negative_prompt = cfg.negative_prompt
+        self.directions = directions(cfg.view_dependent_prompt_front)
+
+    def _encode_cached(self, prompts: list[str]) -> np.ndarray:
+        cfg = self.cfg
+        if not cfg.use_cache:
+            return self.encode_fn(prompts)
+        os.makedirs(cfg.cache_dir, exist_ok=True)
+        out: list[np.ndarray | None] = []
+        missing: list[tuple[int, str]] = []
+        for i, p in enumerate(prompts):
+            path = os.path.join(
+                cfg.cache_dir, _hash_prompt(cfg.model_path, p) + ".npy"
+            )
+            if os.path.exists(path):
+                out.append(np.load(path))
+            else:
+                out.append(None)
+                missing.append((i, p))
+        if missing:
+            fresh = self.encode_fn([p for _, p in missing])
+            for (i, p), emb in zip(missing, fresh):
+                path = os.path.join(
+                    cfg.cache_dir, _hash_prompt(cfg.model_path, p) + ".npy"
+                )
+                np.save(path, emb)
+                out[i] = emb
+        return np.stack(out)  # type: ignore[arg-type]
+
+    def __call__(self) -> PromptEmbeddings:
+        vd_prompts = [d.prompt(self.prompt) for d in self.directions]
+        vd_neg = [d.negative_prompt(self.negative_prompt) for d in self.directions]
+        all_prompts = (
+            [self.prompt, self.negative_prompt, ""] + vd_prompts + vd_neg
+        )
+        emb = self._encode_cached(all_prompts)
+        n = len(self.directions)
+        return PromptEmbeddings(
+            text=jnp.asarray(emb[0]),
+            uncond=jnp.asarray(emb[1]),
+            null=jnp.asarray(emb[2]),
+            text_vd=jnp.asarray(emb[3 : 3 + n]),
+            uncond_vd=jnp.asarray(emb[3 + n : 3 + 2 * n]),
+        )

@@ -115,12 +115,26 @@ def _chunk_common(f, px, py, lane, kc, count, s: CompositeStatics):
     )
 
 
+def _lane_cumsum(x, g: int):
+    """Inclusive cumsum along the lane axis of [PIX, G] via an upper-
+    triangular ones matmul — Mosaic has no cumsum primitive, and one
+    [PIX,G]x[G,G] MXU pass beats a log-step shift chain anyway."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
+    tri = (row <= col).astype(jnp.float32)
+    return jax.lax.dot_general(
+        x, tri, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
 def _recurrence(c, log_t, done, s: CompositeStatics):
     """Front-to-back recurrence for one chunk (see module docstring)."""
-    cum = jnp.cumsum(c["log1ma"], axis=1)
+    cum = _lane_cumsum(c["log1ma"], s.chunk)
     log_t_before = log_t + cum - c["log1ma"]
     trigger = c["pass_"] & (log_t_before + c["log1ma"] < s.log_eps)
-    done_upto = done | (jnp.cumsum(trigger.astype(jnp.float32), axis=1) > 0.0)
+    done_upto = done | (
+        _lane_cumsum(trigger.astype(jnp.float32), s.chunk) > 0.0
+    )
     contrib = c["pass_"] & jnp.logical_not(done_upto)
     w = jnp.where(contrib, jnp.exp(log_t_before) * c["alpha"], 0.0)
     new_log_t = log_t + jnp.sum(
@@ -145,7 +159,7 @@ def _feat_matrix(f, s: CompositeStatics):
 
 def _fwd_kernel(counts_ref, feats_ref, out_ref, *, s: CompositeStatics):
     t = pl.program_id(0)
-    count = counts_ref[0, 0]
+    count = counts_ref[t]
     px, py = _pixel_coords(t, s)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, s.chunk), 1)
 
@@ -171,12 +185,15 @@ def _fwd_kernel(counts_ref, feats_ref, out_ref, *, s: CompositeStatics):
         0, pl.cdiv(count, s.chunk), body, init
     )
     # channels: 0-2 rgb, 3 depth, 4 sum(w), 5 log T_final, 6-7 zero
-    out_ref[0] = acc.at[:, 5:6].set(log_t)
+    # (concat, not .at[].set — Mosaic has no scatter primitive)
+    out_ref[0] = jnp.concatenate(
+        [acc[:, 0:5], log_t, jnp.zeros((s.pix, 2), jnp.float32)], axis=1
+    )
 
 
 def _bwd_kernel(counts_ref, feats_ref, gvec_ref, dfeats_ref, *, s: CompositeStatics):
     t = pl.program_id(0)
-    count = counts_ref[0, 0]
+    count = counts_ref[t]
     px, py = _pixel_coords(t, s)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, s.chunk), 1)
     g8 = gvec_ref[0]  # (PIX, 8): 0-4 output cotangents, 5 = S
@@ -195,7 +212,7 @@ def _bwd_kernel(counts_ref, feats_ref, gvec_ref, dfeats_ref, *, s: CompositeStat
             preferred_element_type=jnp.float32,
         )  # (PIX, G)
         wphi = w * phi
-        p_incl = prefix + jnp.cumsum(wphi, axis=1)
+        p_incl = prefix + _lane_cumsum(wphi, s.chunk)
         t_i = jnp.exp(log_t_before)
         inv_1ma = 1.0 / jnp.maximum(1.0 - c["alpha"], 1e-6)
         dalpha = jnp.where(
@@ -254,21 +271,23 @@ def _bwd_kernel(counts_ref, feats_ref, gvec_ref, dfeats_ref, *, s: CompositeStat
 
 def _fwd_call(feats, counts, s: CompositeStatics):
     num_tiles = counts.shape[0]
-    counts = counts.reshape(num_tiles, 1)  # scalars must be 2D in SMEM
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel, s=s),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # counts -> SMEM, whole array per step
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda t: (t, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (1, s.n_chunks, _NF, s.chunk),
-                lambda t: (t, 0, 0, 0),
+                lambda t, *_: (t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, s.pix, 8), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+            (1, s.pix, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, s=s),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, s.pix, 8), jnp.float32),
         interpret=s.interpret,
     )(counts, feats)
@@ -276,26 +295,28 @@ def _fwd_call(feats, counts, s: CompositeStatics):
 
 def _bwd_call(feats, counts, gvec, s: CompositeStatics):
     num_tiles = counts.shape[0]
-    counts = counts.reshape(num_tiles, 1)  # scalars must be 2D in SMEM
-    return pl.pallas_call(
-        functools.partial(_bwd_kernel, s=s),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda t: (t, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (1, s.n_chunks, _NF, s.chunk),
-                lambda t: (t, 0, 0, 0),
+                lambda t, *_: (t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, s.pix, 8), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+                (1, s.pix, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
             (1, s.n_chunks, _NF, s.chunk),
-            lambda t: (t, 0, 0, 0),
+            lambda t, *_: (t, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, s=s),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(feats.shape, jnp.float32),
         interpret=s.interpret,
     )(counts, feats, gvec)
