@@ -1,0 +1,176 @@
+"""CLI launcher: text -> 3D Gaussian avatar training.
+
+Usage (mirrors the reference's public UX,
+/root/reference/launch.py:200-239):
+
+  python -m humangaussian_tpu.apps.launch --config configs/avatar.yaml \
+      --train system.prompt_processor.prompt="A man in a suit"
+
+Builds the full stack from YAML + dotlist overrides: SMPL-X skeleton,
+Gaussian scene init, prompt embeddings (host CLIP), dual-branch guidance
+(weights converted from the reference's diffusers checkpoints via
+guidance/convert.py), then runs the jitted train loop and writes the
+orbit video + last.ply + checkpoint.
+
+Model assets are local paths in the config (zero-egress environments
+must pre-download): smplx_path, guidance.model_key (unet_ema),
+guidance.vae_key, prompt_processor.pretrained_model_name_or_path.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+import jax
+import numpy as np
+
+
+def build_system(cfg: dict):
+    from humangaussian_tpu.data.cameras import RandomCameraConfig
+    from humangaussian_tpu.guidance.dual_branch import (
+        DualBranchGuidance,
+        GuidanceConfig,
+    )
+    from humangaussian_tpu.guidance.prompt import (
+        PromptProcessor,
+        PromptProcessorConfig,
+    )
+    from humangaussian_tpu.guidance.schedule import DiffusionSchedule
+    from humangaussian_tpu.guidance.unet import DualBranchUNet, SD2_BASE_CONFIG
+    from humangaussian_tpu.guidance.vae import AutoencoderKL, VAEConfig
+    from humangaussian_tpu.guidance.convert import (
+        convert_unet_state_dict,
+        convert_vae_state_dict,
+        load_torch_state_dict,
+    )
+    from humangaussian_tpu.smplx.model import load_smplx_npz
+    from humangaussian_tpu.smplx.skeleton import Skeleton
+    from humangaussian_tpu.train.optim import GaussianOptimConfig
+    from humangaussian_tpu.train.system import (
+        GaussianDreamerConfig,
+        GaussianDreamerSystem,
+    )
+    from humangaussian_tpu.ops.projection import RasterizeConfig
+
+    sys_cfg = cfg.get("system", {})
+    data_cfg = cfg.get("data", {})
+
+    def take(dc_cls, src: dict):
+        import dataclasses
+
+        fields = {f.name for f in dataclasses.fields(dc_cls)}
+        return dc_cls(**{k: v for k, v in src.items() if k in fields})
+
+    # --- skeleton ---
+    model = load_smplx_npz(
+        sys_cfg["smplx_path"], gender=sys_cfg.get("gender", "neutral")
+    )
+    skel = Skeleton(
+        style="humansd"
+        if sys_cfg.get("texture_structure_joint", True)
+        else "openpose",
+        apose=sys_cfg.get("apose", True),
+    )
+    skel.load_smplx(model).scale(-10)
+
+    # --- prompt embeddings ---
+    pp_cfg_raw = dict(sys_cfg.get("prompt_processor", {}))
+    pp_cfg_raw.setdefault(
+        "model_path", pp_cfg_raw.pop("pretrained_model_name_or_path", "")
+    )
+    prompt_proc = PromptProcessor(take(PromptProcessorConfig, pp_cfg_raw))
+    embeddings = prompt_proc()
+
+    # --- guidance ---
+    g_raw = dict(sys_cfg.get("guidance", {}))
+    guid_cfg = take(GuidanceConfig, g_raw)
+    unet = DualBranchUNet(SD2_BASE_CONFIG)
+    vae = AutoencoderKL(VAEConfig())
+    unet_sd = load_torch_state_dict(_find_weights(g_raw["model_key"], "unet_ema"))
+    unet_params, unmatched = convert_unet_state_dict(unet_sd)
+    if unmatched:
+        print(f"warning: {len(unmatched)} unmatched unet keys, e.g. {unmatched[:3]}")
+    vae_sd = load_torch_state_dict(_find_weights(g_raw["vae_key"], ""))
+    vae_params, unmatched_v = convert_vae_state_dict(vae_sd)
+    if unmatched_v:
+        print(f"warning: {len(unmatched_v)} unmatched vae keys")
+    guidance = DualBranchGuidance(
+        unet=unet,
+        unet_params=unet_params,
+        vae=vae,
+        vae_params=vae_params,
+        schedule=DiffusionSchedule.create(),
+        cfg=guid_cfg,
+    )
+
+    cam_cfg = take(RandomCameraConfig, data_cfg)
+    gd_cfg = take(GaussianDreamerConfig, sys_cfg)
+    optim_cfg = take(GaussianOptimConfig, sys_cfg.get("optimizer", {}))
+    raster_cfg = take(RasterizeConfig, sys_cfg.get("rasterizer", {}))
+    return GaussianDreamerSystem(
+        gd_cfg, skel, guidance, embeddings,
+        camera_cfg=cam_cfg, optim_cfg=optim_cfg, raster_cfg=raster_cfg,
+    )
+
+
+def _find_weights(root: str, subfolder: str) -> str:
+    base = os.path.join(root, subfolder) if subfolder else root
+    for name in (
+        "diffusion_pytorch_model.safetensors",
+        "diffusion_pytorch_model.bin",
+        "model.safetensors",
+        "pytorch_model.bin",
+    ):
+        cand = os.path.join(base, name)
+        if os.path.exists(cand):
+            return cand
+    if os.path.isfile(base):
+        return base
+    raise FileNotFoundError(f"no weight file under {base!r}")
+
+
+def main(argv=None):
+    from humangaussian_tpu.config import ExperimentConfig, load_config
+    from humangaussian_tpu.train.loop import finalize, run_training
+    from humangaussian_tpu.train.checkpoint import restore_checkpoint
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--train", action="store_true")
+    parser.add_argument("--test", action="store_true")
+    parser.add_argument("--resume", default=None, help="checkpoint dir")
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+
+    cfg = load_config(args.config, args.overrides)
+    exp = ExperimentConfig(
+        name=cfg.get("name", "default"),
+        tag=str(cfg.get("tag", "")),
+        exp_root_dir=cfg.get("exp_root_dir", "outputs"),
+        seed=int(cfg.get("seed", 0)),
+    )
+    dirs = exp.make_dirs()
+    shutil.copy(args.config, os.path.join(dirs["configs"], "raw.yaml"))
+
+    system = build_system(cfg)
+    key = jax.random.PRNGKey(exp.seed)
+    state = system.init_state(key, seed=exp.seed)
+    if args.resume:
+        state = restore_checkpoint(args.resume, state)
+        print(f"resumed from {args.resume} at step {int(state.step)}")
+
+    if args.train:
+        state, _hist = run_training(
+            system, state,
+            max_steps=int(cfg.get("trainer", {}).get("max_steps", 3600)),
+            val_interval=int(cfg.get("trainer", {}).get("val_check_interval", 100)),
+            save_dir=dirs["save"],
+        )
+    if args.test or args.train:
+        finalize(system, state, dirs["save"])
+        print(f"artifacts in {dirs['save']}")
+
+
+if __name__ == "__main__":
+    main()

@@ -94,13 +94,13 @@ def build_tile_bins(
     counts = jnp.minimum(seg_len, capacity)
     overflow = jnp.sum(jnp.maximum(seg_len - capacity, 0))
 
-    seg_pos = jnp.arange(p, dtype=jnp.int32) - starts[sorted_tile]
-    ok = (sorted_tile < num_tiles) & (seg_pos < capacity)
-    flat_idx = jnp.where(ok, sorted_tile * capacity + seg_pos, num_tiles * capacity)
-    slots = (
-        jnp.full((num_tiles * capacity,), -1, jnp.int32)
-        .at[flat_idx]
-        .set(sorted_gid, mode="drop")
-        .reshape(num_tiles, capacity)
+    # realize the [T, K] table as a GATHER from the sorted pair list
+    # (slots[t, k] = sorted_gid[starts[t] + k]) — a scatter formulation
+    # is semantically identical but orders of magnitude slower on TPU
+    k_idx = jnp.arange(capacity, dtype=jnp.int32)
+    flat = starts[:-1, None] + k_idx[None, :]  # [T, K]
+    valid = k_idx[None, :] < counts[:, None]
+    slots = jnp.where(
+        valid, sorted_gid[jnp.minimum(flat, p - 1)], -1
     )
     return TileBins(slots=slots, counts=counts, overflow=overflow)

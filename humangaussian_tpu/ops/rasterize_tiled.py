@@ -127,21 +127,25 @@ def _lane_cumsum(x, g: int):
     )
 
 
-def _recurrence(c, log_t, done, s: CompositeStatics):
-    """Front-to-back recurrence for one chunk (see module docstring)."""
+def _recurrence(c, log_t, done_f, s: CompositeStatics):
+    """Front-to-back recurrence for one chunk (see module docstring).
+
+    `done_f` is the carried stop latch as float (0/1) — Mosaic handles
+    f32 scratch state more robustly than i1 vectors."""
     cum = _lane_cumsum(c["log1ma"], s.chunk)
     log_t_before = log_t + cum - c["log1ma"]
     trigger = c["pass_"] & (log_t_before + c["log1ma"] < s.log_eps)
-    done_upto = done | (
-        _lane_cumsum(trigger.astype(jnp.float32), s.chunk) > 0.0
+    done_upto_f = jnp.maximum(
+        done_f,
+        jnp.minimum(_lane_cumsum(trigger.astype(jnp.float32), s.chunk), 1.0),
     )
-    contrib = c["pass_"] & jnp.logical_not(done_upto)
+    contrib = c["pass_"] & (done_upto_f < 0.5)
     w = jnp.where(contrib, jnp.exp(log_t_before) * c["alpha"], 0.0)
     new_log_t = log_t + jnp.sum(
         jnp.where(contrib, c["log1ma"], 0.0), axis=1, keepdims=True
     )
-    new_done = done_upto[:, s.chunk - 1 : s.chunk]
-    return w, contrib, log_t_before, new_log_t, new_done
+    new_done_f = done_upto_f[:, s.chunk - 1 : s.chunk]
+    return w, contrib, log_t_before, new_log_t, new_done_f
 
 
 def _feat_matrix(f, s: CompositeStatics):
@@ -157,41 +161,51 @@ def _feat_matrix(f, s: CompositeStatics):
     )
 
 
-def _fwd_kernel(counts_ref, feats_ref, out_ref, *, s: CompositeStatics):
+def _fwd_kernel(
+    counts_ref, feats_ref, out_ref, logt_ref, done_ref, acc_ref,
+    *, s: CompositeStatics,
+):
+    """Per-pixel loop state (log T, stop latch, accumulators) lives in
+    VMEM scratch, not loop carries — carrying ~130 vector registers
+    through an scf loop trips Mosaic layout bugs and costs moves."""
     t = pl.program_id(0)
     count = counts_ref[t]
     px, py = _pixel_coords(t, s)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, s.chunk), 1)
 
+    logt_ref[:, :] = jnp.zeros((s.pix, 1), jnp.float32)
+    done_ref[:, :] = jnp.zeros((s.pix, 1), jnp.float32)
+    acc_ref[:, :] = jnp.zeros((s.pix, 8), jnp.float32)
+
     def body(kc, carry):
-        log_t, done, acc = carry
         f = feats_ref[0, kc]  # (NF, G)
         c = _chunk_common(f, px, py, lane, kc, count, s)
-        w, contrib, _ltb, log_t, done = _recurrence(c, log_t, done, s)
-        acc = acc + jax.lax.dot_general(
+        w, contrib, _ltb, new_log_t, new_done = _recurrence(
+            c, logt_ref[:, :], done_ref[:, :], s
+        )
+        acc_ref[:, :] += jax.lax.dot_general(
             w,
             _feat_matrix(f, s),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return log_t, done, acc
+        logt_ref[:, :] = new_log_t
+        done_ref[:, :] = new_done
+        return carry
 
-    init = (
-        jnp.zeros((s.pix, 1), jnp.float32),
-        jnp.zeros((s.pix, 1), jnp.bool_),
-        jnp.zeros((s.pix, 8), jnp.float32),
-    )
-    log_t, _done, acc = jax.lax.fori_loop(
-        0, pl.cdiv(count, s.chunk), body, init
-    )
+    jax.lax.fori_loop(0, pl.cdiv(count, s.chunk), body, 0)
     # channels: 0-2 rgb, 3 depth, 4 sum(w), 5 log T_final, 6-7 zero
-    # (concat, not .at[].set — Mosaic has no scatter primitive)
+    acc = acc_ref[:, :]
     out_ref[0] = jnp.concatenate(
-        [acc[:, 0:5], log_t, jnp.zeros((s.pix, 2), jnp.float32)], axis=1
+        [acc[:, 0:5], logt_ref[:, :], jnp.zeros((s.pix, 2), jnp.float32)],
+        axis=1,
     )
 
 
-def _bwd_kernel(counts_ref, feats_ref, gvec_ref, dfeats_ref, *, s: CompositeStatics):
+def _bwd_kernel(
+    counts_ref, feats_ref, gvec_ref, dfeats_ref, logt_ref, done_ref,
+    prefix_ref, *, s: CompositeStatics,
+):
     t = pl.program_id(0)
     count = counts_ref[t]
     px, py = _pixel_coords(t, s)
@@ -199,8 +213,14 @@ def _bwd_kernel(counts_ref, feats_ref, gvec_ref, dfeats_ref, *, s: CompositeStat
     g8 = gvec_ref[0]  # (PIX, 8): 0-4 output cotangents, 5 = S
     svec = g8[:, 5:6]
 
+    logt_ref[:, :] = jnp.zeros((s.pix, 1), jnp.float32)
+    done_ref[:, :] = jnp.zeros((s.pix, 1), jnp.float32)
+    prefix_ref[:, :] = jnp.zeros((s.pix, 1), jnp.float32)
+
     def body(kc, carry):
-        log_t, done, prefix = carry
+        log_t = logt_ref[:, :]
+        done = done_ref[:, :]
+        prefix = prefix_ref[:, :]
         f = feats_ref[0, kc]
         c = _chunk_common(f, px, py, lane, kc, count, s)
         w, contrib, log_t_before, new_log_t, new_done = _recurrence(
@@ -247,16 +267,13 @@ def _bwd_kernel(counts_ref, feats_ref, gvec_ref, dfeats_ref, *, s: CompositeStat
             axis=0,
         )  # (NF, G)
         dfeats_ref[0, kc] = rows
-        prefix = prefix + jnp.sum(wphi, axis=1, keepdims=True)
-        return new_log_t, new_done, prefix
+        logt_ref[:, :] = new_log_t
+        done_ref[:, :] = new_done
+        prefix_ref[:, :] = prefix + jnp.sum(wphi, axis=1, keepdims=True)
+        return carry
 
-    init = (
-        jnp.zeros((s.pix, 1), jnp.float32),
-        jnp.zeros((s.pix, 1), jnp.bool_),
-        jnp.zeros((s.pix, 1), jnp.float32),
-    )
     n_live = pl.cdiv(count, s.chunk)
-    jax.lax.fori_loop(0, n_live, body, init)
+    jax.lax.fori_loop(0, n_live, body, 0)
 
     # zero the pair-grad rows of chunks beyond the live count
     def zero_body(kc, _):
@@ -284,6 +301,11 @@ def _fwd_call(feats, counts, s: CompositeStatics):
         out_specs=pl.BlockSpec(
             (1, s.pix, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[
+            pltpu.VMEM((s.pix, 1), jnp.float32),  # log T
+            pltpu.VMEM((s.pix, 1), jnp.float32),  # stop latch
+            pltpu.VMEM((s.pix, 8), jnp.float32),  # accumulators
+        ],
     )
     return pl.pallas_call(
         functools.partial(_fwd_kernel, s=s),
@@ -313,6 +335,11 @@ def _bwd_call(feats, counts, gvec, s: CompositeStatics):
             lambda t, *_: (t, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=[
+            pltpu.VMEM((s.pix, 1), jnp.float32),  # log T
+            pltpu.VMEM((s.pix, 1), jnp.float32),  # stop latch
+            pltpu.VMEM((s.pix, 1), jnp.float32),  # prefix sum(w*phi)
+        ],
     )
     return pl.pallas_call(
         functools.partial(_bwd_kernel, s=s),

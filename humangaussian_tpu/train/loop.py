@@ -1,0 +1,91 @@
+"""Host training loop: step dispatch, densify schedule, eval, artifacts.
+
+The runtime around the compiled train step (what PyTorch Lightning's
+Trainer does for the reference, launch.py:166-183 + callbacks): drives
+`system.train_step` for max_steps, invokes the densify/prune programs on
+schedule, renders validation orbits every `val_interval`, and writes the
+final artifacts (120-view orbit video + last.ply + orbax checkpoint —
+GaussianDreamer.py:410-565).
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from humangaussian_tpu.io.ply import save_ply
+from humangaussian_tpu.train.checkpoint import save_checkpoint
+from humangaussian_tpu.utils.saving import (
+    save_image_grid,
+    save_metrics_csv,
+    save_video,
+)
+
+
+def run_training(
+    system,
+    state,
+    max_steps: int | None = None,
+    val_interval: int = 100,
+    save_dir: str | None = None,
+    log_every: int = 10,
+    log_fn=print,
+):
+    """Train to max_steps. Returns (state, metrics_history)."""
+    cfg = system.cfg
+    max_steps = max_steps or cfg.max_steps
+    history: list[dict] = []
+    t_start = time.time()
+    t_last = t_start
+    start_step = int(state.step)
+
+    for _ in range(start_step, max_steps):
+        state, metrics = system.train_step(state)
+        state, dens_info = system.maybe_densify(state)
+        step = int(state.step)
+
+        if step % log_every == 0 or dens_info is not None:
+            row = {k: float(np.asarray(v)) for k, v in metrics.items()}
+            row["step"] = step
+            now = time.time()
+            row["steps_per_s"] = log_every / max(now - t_last, 1e-9)
+            t_last = now
+            if dens_info is not None:
+                row.update(
+                    n_cloned=int(dens_info.n_cloned),
+                    n_split=int(dens_info.n_split),
+                    n_pruned=int(dens_info.n_pruned),
+                    n_dropped=int(dens_info.n_dropped),
+                )
+            history.append(row)
+            log_fn(
+                f"step {step}: loss={row['loss']:.4f} "
+                f"alive={int(row['n_alive'])} "
+                f"{row['steps_per_s']:.2f} it/s"
+                + (f" densify={dens_info}" if dens_info is not None else "")
+            )
+
+        if save_dir and val_interval and step % val_interval == 0:
+            out, _cams = system.render_eval(state.scene, "val")
+            save_image_grid(
+                os.path.join(save_dir, f"it{step}-val.png"),
+                np.asarray(out["image"]),
+            )
+
+    if save_dir:
+        finalize(system, state, save_dir)
+        save_metrics_csv(os.path.join(save_dir, "metrics.csv"), history)
+    return state, history
+
+
+def finalize(system, state, save_dir: str):
+    """Test-time artifacts: orbit video + PLY + checkpoint
+    (on_test_epoch_end, GaussianDreamer.py:550-565)."""
+    out, _cams = system.render_eval(state.scene, "test")
+    frames = np.asarray(out["image"])
+    save_video(os.path.join(save_dir, "orbit.mp4"), frames, fps=30)
+    save_ply(state.scene, os.path.join(save_dir, "last.ply"))
+    save_checkpoint(os.path.join(save_dir, "ckpts", "last"), state)
+    return save_dir
