@@ -6,21 +6,27 @@ cub radix sort by (tile | depth) key, called from
 /root/reference/gaussiansplatting/gaussian_renderer/__init__.py:86-94).
 
 The CUDA version builds dynamically-sized per-tile ranges. On TPU every
-shape must be static, so binning produces a fixed-capacity slot table:
+shape must be static, and the cost profile is different: XLA sort passes
+move every operand at every compare-exchange, and scalar gathers are
+~20x slower than 16-wide row gathers. The design accounts for both:
 
-  slots  [T, K] int32  Gaussian index per (tile, depth-rank) slot, -1 pad
-  counts [T]    int32  live slots per tile (<= K)
+1. depth-sort the N (padded) Gaussians once (2-operand sort of N);
+2. expand each Gaussian's tile rect into `rect_side**2` candidate pairs
+   and PACK each pair into ONE int32 key: tile_id << RANK_BITS |
+   depth_rank (invalid pairs get a sentinel tile that sorts last);
+3. ONE single-operand sort of the packed keys orders pairs by
+   (tile, depth) — no stability or payload operands needed because the
+   depth rank rides in the key;
+4. per-tile segment starts via searchsorted over the tile bits.
 
-built from three static-shaped passes:
-  1. depth-sort the N (padded) Gaussians (visible first);
-  2. expand each Gaussian's tile rect into `rect_side**2` candidate pairs
-     (invalid pairs get a sentinel tile id that sorts last);
-  3. stable-sort pairs by tile id — stability preserves the global depth
-     order within each tile — and scatter into the slot table.
+Consumers read pair data through two 16-wide row gathers (see
+rasterize_tiled.rasterize_tiled): depth-ordered feature rows indexed by
+the key's rank bits, then the static [T, K] table as contiguous segment
+slices — no [T, K] scalar index table is ever materialized.
 
 Pairs beyond K for a given tile are dropped deepest-first (they sit
 behind K closer Gaussians; with K=4096 and front-to-back saturation this
-is visually nil) and reported in `overflow` so callers can monitor.
+is visually nil) and reported in `overflow`.
 """
 from __future__ import annotations
 
@@ -32,10 +38,20 @@ import jax.numpy as jnp
 from humangaussian_tpu.ops.projection import ProjectedGaussians, RasterizeConfig
 
 
+class PairLists(NamedTuple):
+    """Sorted pair structure (all static shapes)."""
+
+    order: jnp.ndarray  # [N] Gaussian index by depth rank
+    sorted_rank: jnp.ndarray  # [P] depth rank of each sorted pair
+    starts: jnp.ndarray  # [T+1] segment starts into the sorted pairs
+    counts: jnp.ndarray  # [T] live pairs per tile (capped at K)
+    overflow: jnp.ndarray  # [] pairs dropped by the K cap
+
+
 class TileBins(NamedTuple):
-    slots: jnp.ndarray  # [T, K] int32, -1 = empty
-    counts: jnp.ndarray  # [T] int32
-    overflow: jnp.ndarray  # [] int32: pairs dropped due to the K cap
+    slots: jnp.ndarray  # [T, K] int32 Gaussian index, -1 = empty
+    counts: jnp.ndarray  # [T]
+    overflow: jnp.ndarray  # []
 
 
 def depth_order(visible: jnp.ndarray, depths: jnp.ndarray) -> jnp.ndarray:
@@ -52,18 +68,24 @@ def depth_order(visible: jnp.ndarray, depths: jnp.ndarray) -> jnp.ndarray:
     return order
 
 
-def build_tile_bins(
+def build_pair_lists(
     prims: ProjectedGaussians,
     tiles_x: int,
     tiles_y: int,
     capacity: int,
     cfg: RasterizeConfig,
-) -> TileBins:
-    """Bin projected Gaussians into per-tile, depth-ordered slot lists."""
+) -> PairLists:
+    """Packed-key pair sort (see module docstring)."""
     n = prims.depths.shape[0]
     num_tiles = tiles_x * tiles_y
     side = cfg.rect_side
     r = side * side
+    rank_bits = max((n - 1).bit_length(), 1)
+    if (num_tiles + 1) << rank_bits >= 1 << 31:
+        raise ValueError(
+            f"packed pair keys overflow int32: {num_tiles} tiles x "
+            f"2^{rank_bits} ranks; reduce capacity or tile count"
+        )
 
     order = depth_order(prims.visible, prims.depths)
     rect = prims.rect[order]  # [N,4] x0,y0,x1,y1 (tile units)
@@ -78,29 +100,43 @@ def build_tile_bins(
     valid = in_rect & vis[:, None, None]
     tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles)  # sentinel last
 
-    p = n * r
-    pair_tile = tile_id.reshape(p)
-    pair_gid = jnp.broadcast_to(order[:, None, None], (n, side, side)).reshape(p)
+    rank = jnp.arange(n, dtype=jnp.int32)[:, None, None]
+    keys = (tile_id << rank_bits) | rank  # invalid: sentinel tile, rank rides
+    sorted_key = jax.lax.sort(keys.reshape(n * r))
 
-    # stable sort by tile keeps depth-major order within each tile
-    sorted_tile, sorted_gid = jax.lax.sort(
-        (pair_tile, pair_gid), num_keys=1, is_stable=True
-    )
-
+    tiles_sorted = sorted_key >> rank_bits
     starts = jnp.searchsorted(
-        sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+        tiles_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
-    seg_len = starts[1:] - starts[:-1]  # [T]
+    seg_len = starts[1:] - starts[:-1]
     counts = jnp.minimum(seg_len, capacity)
     overflow = jnp.sum(jnp.maximum(seg_len - capacity, 0))
-
-    # realize the [T, K] table as a GATHER from the sorted pair list
-    # (slots[t, k] = sorted_gid[starts[t] + k]) — a scatter formulation
-    # is semantically identical but orders of magnitude slower on TPU
-    k_idx = jnp.arange(capacity, dtype=jnp.int32)
-    flat = starts[:-1, None] + k_idx[None, :]  # [T, K]
-    valid = k_idx[None, :] < counts[:, None]
-    slots = jnp.where(
-        valid, sorted_gid[jnp.minimum(flat, p - 1)], -1
+    sorted_rank = sorted_key & ((1 << rank_bits) - 1)
+    return PairLists(
+        order=order,
+        sorted_rank=sorted_rank,
+        starts=starts,
+        counts=counts,
+        overflow=overflow,
     )
-    return TileBins(slots=slots, counts=counts, overflow=overflow)
+
+
+def build_tile_bins(
+    prims: ProjectedGaussians,
+    tiles_x: int,
+    tiles_y: int,
+    capacity: int,
+    cfg: RasterizeConfig,
+) -> TileBins:
+    """Materialized [T, K] Gaussian-index table (tests/debug; the
+    production render path gathers feature rows directly from PairLists
+    without this scalar index table)."""
+    pairs = build_pair_lists(prims, tiles_x, tiles_y, capacity, cfg)
+    num_tiles = tiles_x * tiles_y
+    p = pairs.sorted_rank.shape[0]
+    k_idx = jnp.arange(capacity, dtype=jnp.int32)
+    flat = pairs.starts[:-1, None] + k_idx[None, :]  # [T, K]
+    valid = k_idx[None, :] < pairs.counts[:, None]
+    ranks = pairs.sorted_rank[jnp.minimum(flat, p - 1)]
+    slots = jnp.where(valid, pairs.order[ranks], -1)
+    return TileBins(slots=slots, counts=pairs.counts, overflow=pairs.overflow)

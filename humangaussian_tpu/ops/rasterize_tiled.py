@@ -49,12 +49,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from humangaussian_tpu.core.camera import Camera
-from humangaussian_tpu.ops.binning import build_tile_bins
+from humangaussian_tpu.ops.binning import build_pair_lists
 from humangaussian_tpu.ops.projection import RasterizeConfig, project_gaussians
 
-# feature-row layout in the packed [T, Kc, NF, G] pair tensor
+# feature-row layout in the packed [T, Kc, NF, G] pair tensor.
+# NF = 16: 10 live features + 6 zero rows — a full f32 sublane tile, so
+# the pair data can be fetched as ONE wide-row gather from an [N+1, 16]
+# feature matrix (21x faster on TPU than per-feature scalar gathers) and
+# costs no extra VMEM (sublane padding would round 10 -> 16 anyway).
 _FX, _FY, _FCA, _FCB, _FCC, _FR, _FG, _FB, _FOPA, _FDEPTH = range(10)
-_NF = 10
+_NF = 16
 
 
 class CompositeStatics(NamedTuple):
@@ -263,6 +267,7 @@ def _bwd_kernel(
                 dcg[0:3, :],  # drgb
                 psum(dopa_pix),  # dopacity
                 dcg[3:4, :],  # ddepth
+                jnp.zeros((_NF - 10, s.chunk), jnp.float32),  # pad rows
             ],
             axis=0,
         )  # (NF, G)
@@ -412,26 +417,45 @@ def rasterize_tiled(
     )
     tiles_x, tiles_y = w // tile, h // tile
     num_tiles = tiles_x * tiles_y
-    bins = build_tile_bins(prims, tiles_x, tiles_y, tile_capacity, cfg)
+    pairs = build_pair_lists(prims, tiles_x, tiles_y, tile_capacity, cfg)
 
-    idx = jnp.maximum(bins.slots, 0)  # [T, K]; dead slots contribute 0 via opa
-    feats = jnp.stack(
+    # two-hop 16-wide row gathers (scalar gathers are ~20x slower on TPU):
+    #   hop 1: feature rows in depth order, indexed by pair rank bits;
+    #   hop 2: the static [T, K] table as contiguous segment slices,
+    #          out-of-segment slots hitting an all-zero row (opacity 0
+    #          never passes alpha_min).
+    n = means.shape[0]
+    p = pairs.sorted_rank.shape[0]
+    fmat = jnp.stack(
         [
-            prims.means2d[:, 0][idx],
-            prims.means2d[:, 1][idx],
-            prims.conics[:, 0][idx],
-            prims.conics[:, 1][idx],
-            prims.conics[:, 2][idx],
-            prims.rgb[:, 0][idx],
-            prims.rgb[:, 1][idx],
-            prims.rgb[:, 2][idx],
-            jnp.where(bins.slots >= 0, prims.opacities[idx], 0.0),
-            prims.depths[idx],
-        ],
+            prims.means2d[:, 0],
+            prims.means2d[:, 1],
+            prims.conics[:, 0],
+            prims.conics[:, 1],
+            prims.conics[:, 2],
+            prims.rgb[:, 0],
+            prims.rgb[:, 1],
+            prims.rgb[:, 2],
+            prims.opacities,
+            prims.depths,
+        ]
+        + [jnp.zeros((n,), jnp.float32)] * (_NF - 10),
         axis=1,
-    )  # [T, NF, K]
+    )  # [N, 16]
+    fmat_sorted = fmat[pairs.order]  # depth-ordered rows
+    pair_feats = fmat_sorted[pairs.sorted_rank]  # [P, 16]
+    pair_feats = jnp.concatenate(
+        [pair_feats, jnp.zeros((1, _NF), jnp.float32)], axis=0
+    )
+    k_idx = jnp.arange(tile_capacity, dtype=jnp.int32)
+    flat = pairs.starts[:-1, None] + k_idx[None, :]  # [T, K]
+    flat = jnp.where(k_idx[None, :] < pairs.counts[:, None], flat, p)
     n_chunks = tile_capacity // chunk
-    feats = feats.reshape(num_tiles, _NF, n_chunks, chunk).transpose(0, 2, 1, 3)
+    feats = (
+        pair_feats[flat]
+        .reshape(num_tiles, n_chunks, chunk, _NF)
+        .transpose(0, 1, 3, 2)
+    )  # [T, Kc, NF, G]
 
     s = CompositeStatics(
         tiles_x=tiles_x,
@@ -445,7 +469,7 @@ def rasterize_tiled(
         log_eps=math.log(cfg.transmittance_eps),
         interpret=bool(interpret),
     )
-    acc = composite_tiles(feats, bins.counts, s)  # [T, PIX, 8]
+    acc = composite_tiles(feats, pairs.counts, s)  # [T, PIX, 8]
 
     acc_img = acc.reshape(tiles_y, tiles_x, tile, tile, 8)
     acc_img = acc_img.transpose(0, 2, 1, 3, 4).reshape(h, w, 8)
@@ -457,5 +481,5 @@ def rasterize_tiled(
         "alpha": 1.0 - t_fin,
         "radii": prims.radii,
         "visible": prims.visible,
-        "overflow": bins.overflow,
+        "overflow": pairs.overflow,
     }

@@ -203,9 +203,72 @@ class GaussianDreamerSystem:
 
         return jax.vmap(one)(cameras.mvp_mtx, cameras.azimuth)
 
-    # ---- the train step ----------------------------------------------
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def train_step(self, state: TrainState):
+    # ---- loss (shard-aware: global reductions become collectives) -----
+    def batch_loss(
+        self, params, offset, scene_template, cameras, pose, text3, t,
+        key, step, axis_name=None, n_shards=1, global_batch=None,
+    ):
+        """Loss over a (shard of the) camera batch.
+
+        `text3` is [3, b, L, D] ([cond|neg|null] stacked on axis 0 so a
+        batch shard keeps all three CFG segments). When running under
+        shard_map, `axis_name` makes the reference's GLOBAL depth max
+        (:302) a cross-shard pmax, the SDS sum normalizes by the global
+        batch, and mean losses are divided by n_shards so the psum of
+        shard gradients equals the single-device gradient.
+        """
+        cfg = self.cfg
+        scene = scene_template.replace_params(params)
+        out = self.render_batch(
+            scene, cameras, self.camera_cfg.height, self.camera_cfg.width,
+            means2d_offset=offset,
+        )
+        images = out["image"]  # [b,H,W,3]
+        depths = out["depth"][..., None]  # [b,H,W,1]
+        local_b = images.shape[0]
+        global_batch = global_batch or local_b
+
+        # "opacity" = globally max-normalized depth (:302). The max is a
+        # normalization constant: stop-grad (torch routes a measure-zero
+        # gradient through the argmax pixel; pmax has no VJP anyway).
+        depth_max = jax.lax.stop_gradient(jnp.max(depths))
+        if axis_name is not None:
+            depth_max = jax.lax.pmax(depth_max, axis_name)
+        opacity = depths / (depth_max + 1e-5)
+        # guidance depth: per-image min-max -> 3 channels (:330-333)
+        dmin = jnp.min(depths, axis=(1, 2, 3), keepdims=True)
+        dmax = jnp.max(depths, axis=(1, 2, 3), keepdims=True)
+        depth3 = jnp.repeat((depths - dmin) / (dmax - dmin + 1e-10), 3, axis=-1)
+
+        text = text3.reshape((-1,) + text3.shape[2:])  # [3b, L, D]
+        g_out = self.guidance(
+            pose, images, depth3, text, t, key,
+            grad_clip_val=C_schedule(cfg.grad_clip, step),
+        )
+        # guidance divides its sum-loss by local b; renormalize to global
+        loss_sds = g_out["loss_sds"] * (local_b / global_batch)
+        loss = loss_sds * C_schedule(cfg.lambda_sds, step)
+        loss_sparsity = jnp.mean(jnp.sqrt(opacity**2 + 0.01)) / n_shards
+        loss = loss + loss_sparsity * C_schedule(cfg.lambda_sparsity, step)
+        oc = jnp.clip(opacity, 1e-3, 1.0 - 1e-3)
+        loss_opaque = (
+            jnp.mean(-(oc * jnp.log(oc) + (1 - oc) * jnp.log(1 - oc))) / n_shards
+        )
+        loss = loss + loss_opaque * C_schedule(cfg.lambda_opaque, step)
+
+        radii_max = jnp.max(out["radii"], axis=0)  # max over local cameras
+        aux = {
+            "radii": radii_max,
+            "loss_sds": loss_sds,
+            "loss_sparsity": loss_sparsity,
+            "loss_opaque": loss_opaque,
+            "grad_norm": g_out["grad_norm"],
+            "overflow": jnp.max(out["overflow"]),
+        }
+        return loss, aux
+
+    def sample_step_inputs(self, state: TrainState):
+        """Per-step host-free input sampling (cameras, pose, text, t)."""
         cfg = self.cfg
         key, k_cam, k_t, k_guid = jax.random.split(state.key, 4)
         step = state.step
@@ -224,57 +287,25 @@ class GaussianDreamerSystem:
         u = jax.random.uniform(k_t, (self.camera_cfg.batch_size,))
         t = (t_lo + u * (t_hi + 1 - t_lo)).astype(jnp.int32)
 
-        text_embeddings = self.prompt_embeddings.get_text_embeddings(
+        b = self.camera_cfg.batch_size
+        text = self.prompt_embeddings.get_text_embeddings(
             cameras.elevation, cameras.azimuth, cameras.camera_distances
         )
-        grad_clip_val = C_schedule(cfg.grad_clip, step)
+        text3 = text.reshape((3, b) + text.shape[1:])
+        return key, k_guid, cameras, pose, text3, t
 
+    # ---- the train step ----------------------------------------------
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def train_step(self, state: TrainState):
+        cfg = self.cfg
+        key, k_guid, cameras, pose, text3, t = self.sample_step_inputs(state)
+        step = state.step
         params = state.scene.params()
         offset = jnp.zeros((cfg.capacity, 2), jnp.float32)
 
-        def loss_fn(params, offset):
-            scene = state.scene.replace_params(params)
-            out = self.render_batch(
-                scene, cameras, self.camera_cfg.height, self.camera_cfg.width,
-                means2d_offset=offset,
-            )
-            images = out["image"]  # [B,H,W,3]
-            depths = out["depth"][..., None]  # [B,H,W,1]
-
-            # "opacity" = globally max-normalized depth (:302)
-            opacity = depths / (jnp.max(depths) + 1e-5)
-            # guidance depth: per-image min-max -> 3 channels (:330-333)
-            dmin = jnp.min(depths, axis=(1, 2, 3), keepdims=True)
-            dmax = jnp.max(depths, axis=(1, 2, 3), keepdims=True)
-            depth3 = jnp.repeat(
-                (depths - dmin) / (dmax - dmin + 1e-10), 3, axis=-1
-            )
-
-            g_out = self.guidance(
-                pose, images, depth3, text_embeddings, t, k_guid,
-                grad_clip_val=grad_clip_val,
-            )
-            loss = g_out["loss_sds"] * C_schedule(cfg.lambda_sds, step)
-            loss_sparsity = jnp.mean(jnp.sqrt(opacity**2 + 0.01))
-            loss = loss + loss_sparsity * C_schedule(cfg.lambda_sparsity, step)
-            oc = jnp.clip(opacity, 1e-3, 1.0 - 1e-3)
-            loss_opaque = jnp.mean(-(oc * jnp.log(oc) + (1 - oc) * jnp.log(1 - oc)))
-            loss = loss + loss_opaque * C_schedule(cfg.lambda_opaque, step)
-
-            radii_max = jnp.max(out["radii"], axis=0)  # max over cameras
-            aux = {
-                "radii": radii_max,
-                "loss_sds": g_out["loss_sds"],
-                "loss_sparsity": loss_sparsity,
-                "loss_opaque": loss_opaque,
-                "grad_norm": g_out["grad_norm"],
-                "overflow": jnp.max(out["overflow"]),
-            }
-            return loss, aux
-
         (loss, aux), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(params, offset)
+            self.batch_loss, argnums=(0, 1), has_aux=True
+        )(params, offset, state.scene, cameras, pose, text3, t, k_guid, step)
         param_grads, means2d_grad = grads
 
         # densification stats (on_before_optimizer_step, :378-391)
