@@ -73,12 +73,14 @@ def make_dp_train_step(system, mesh: Mesh, axis: str = "data"):
     def sharded_grads(scene, cameras, pose, text3, t, k_guid, step):
         params = scene.params()
         offset = jnp.zeros((system.cfg.capacity, 2), jnp.float32)
+        sample_idx = jnp.arange(b, dtype=jnp.int32)
 
-        def shard_fn(cameras, pose, text3, t):
+        def shard_fn(cameras, pose, text3, t, sample_idx):
             def loss_fn(params, offset):
                 return system.batch_loss(
                     params, offset, scene, cameras, pose, text3, t,
                     k_guid, step, axis_name=axis, n_shards=n, global_batch=b,
+                    sample_idx=sample_idx,
                 )
 
             (loss, aux), grads = jax.value_and_grad(
@@ -98,16 +100,18 @@ def make_dp_train_step(system, mesh: Mesh, axis: str = "data"):
             }
             return loss, aux, param_grads, means2d_grad
 
-        # cameras/pose/t shard on the batch axis; text3 on its axis 1
+        # cameras/pose/t/idx shard on the batch axis; text3 on its axis 1
         cam_spec = jax.tree.map(lambda _: batch_first, cameras)
         cam_spec = cam_spec._replace(is_head=replicated, is_back=replicated)
         return shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(cam_spec, batch_first, P(None, axis), batch_first),
+            in_specs=(
+                cam_spec, batch_first, P(None, axis), batch_first, batch_first,
+            ),
             out_specs=(replicated, replicated, replicated, replicated),
             check_rep=False,
-        )(cameras, pose, text3, t)
+        )(cameras, pose, text3, t, sample_idx)
 
     @jax.jit
     def dp_train_step(state: TrainState):

@@ -44,6 +44,15 @@ DEPTH_STD = 1.20629
 VAE_SCALE = 0.18215  # sd-vae-ft-mse scaling_factor
 
 
+def per_sample_normal(key, sample_idx, shape, dtype=jnp.float32):
+    """[b, ...] normal noise where row i depends only on (key,
+    sample_idx[i]) — NOT on the batch shape. This makes every random
+    draw invariant to how the camera batch is sharded across chips
+    (dist/parallel.py), unlike jax.random.normal(key, (b, ...))."""
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(sample_idx)
+    return jax.vmap(lambda k: jax.random.normal(k, shape[1:], dtype))(keys)
+
+
 @dataclasses.dataclass(frozen=True)
 class GuidanceConfig:
     """Mirrors the used fields of dual_branch_guidance.py:44-83."""
@@ -74,12 +83,15 @@ class DualBranchGuidance:
     cfg: GuidanceConfig = GuidanceConfig()
 
     # ---- VAE transport (dual_branch_guidance.py:237-249) --------------
-    def encode_images(self, imgs, rng):
+    def encode_images(self, imgs, rng, sample_idx=None):
         """[B,H,W,3] in [0,1] -> sampled latents [B,h,w,4] * VAE_SCALE."""
         mean, logvar = self.vae.apply(
             self.vae_params, imgs * 2.0 - 1.0, method=self.vae.encode
         )
-        return sample_latent(mean, logvar, rng) * VAE_SCALE
+        if sample_idx is None:
+            return sample_latent(mean, logvar, rng) * VAE_SCALE
+        eps = per_sample_normal(rng, sample_idx, mean.shape, mean.dtype)
+        return (mean + jnp.exp(0.5 * logvar) * eps) * VAE_SCALE
 
     def decode_latents(self, latents):
         img = self.vae.apply(
@@ -105,7 +117,7 @@ class DualBranchGuidance:
         return out
 
     def compute_grad(self, latents, depth_latents, whole_latents, t,
-                     text_embeddings, rng):
+                     text_embeddings, rng, sample_idx=None):
         """ANPG (or plain CFG-SDS) gradient for both branches.
 
         latents/depth_latents: [B,h,w,4]; whole_latents: [B,h,w,4];
@@ -114,8 +126,16 @@ class DualBranchGuidance:
         """
         b = latents.shape[0]
         k_noise, k_dnoise = jax.random.split(rng)
-        noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
-        dnoise = jax.random.normal(k_dnoise, depth_latents.shape, jnp.float32)
+        if sample_idx is None:
+            noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
+            dnoise = jax.random.normal(
+                k_dnoise, depth_latents.shape, jnp.float32
+            )
+        else:
+            noise = per_sample_normal(k_noise, sample_idx, latents.shape)
+            dnoise = per_sample_normal(
+                k_dnoise, sample_idx, depth_latents.shape
+            )
         latents_noisy = self.schedule.add_noise(latents, noise, t)
         depth_noisy = self.schedule.add_noise(depth_latents, dnoise, t)
 
@@ -166,20 +186,23 @@ class DualBranchGuidance:
         t,  # [B] int timesteps
         rng,
         grad_clip_val=None,
+        sample_idx=None,  # [B] global sample ids -> shard-invariant noise
     ):
         b = rgb.shape[0]
         s = self.cfg.image_size
         k_rgb, k_depth, k_pose, k_grad = jax.random.split(rng, 4)
+        if sample_idx is None:
+            sample_idx = jnp.arange(b, dtype=jnp.int32)
 
         def resize(x):
             return jax.image.resize(x, (b, s, s, 3), "bilinear")
 
-        latents = self.encode_images(resize(rgb), k_rgb)
-        depth_latents = self.encode_images(resize(depth), k_depth)
+        latents = self.encode_images(resize(rgb), k_rgb, sample_idx)
+        depth_latents = self.encode_images(resize(depth), k_depth, sample_idx)
         depth_latents = (
             (depth_latents - DEPTH_MEAN) / DEPTH_STD * RGB_STD + RGB_MEAN
         )
-        whole_latents = self.encode_images(resize(pose_image), k_pose)
+        whole_latents = self.encode_images(resize(pose_image), k_pose, sample_idx)
         whole_latents = (
             (whole_latents - WHOLE_MEAN) / WHOLE_STD * RGB_STD + RGB_MEAN
         )
@@ -192,6 +215,7 @@ class DualBranchGuidance:
             t,
             text_embeddings,
             k_grad,
+            sample_idx,
         )
         if grad_clip_val is not None:
             grad = jnp.clip(grad, -grad_clip_val, grad_clip_val)

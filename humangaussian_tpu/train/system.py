@@ -207,6 +207,7 @@ class GaussianDreamerSystem:
     def batch_loss(
         self, params, offset, scene_template, cameras, pose, text3, t,
         key, step, axis_name=None, n_shards=1, global_batch=None,
+        sample_idx=None,
     ):
         """Loss over a (shard of the) camera batch.
 
@@ -244,6 +245,7 @@ class GaussianDreamerSystem:
         g_out = self.guidance(
             pose, images, depth3, text, t, key,
             grad_clip_val=C_schedule(cfg.grad_clip, step),
+            sample_idx=sample_idx,
         )
         # guidance divides its sum-loss by local b; renormalize to global
         loss_sds = g_out["loss_sds"] * (local_b / global_batch)
