@@ -41,6 +41,15 @@ WHOLE_STD = 1.45647
 DEPTH_MEAN = 0.21360
 DEPTH_STD = 1.20629
 
+
+def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale: float):
+    """CFG std rescale, Lin et al. sec 3.4 (dual_branch_guidance.py:29-41)."""
+    axes = tuple(range(1, noise_cfg.ndim))
+    std_text = jnp.std(noise_pred_text, axis=axes, keepdims=True)
+    std_cfg = jnp.std(noise_cfg, axis=axes, keepdims=True)
+    rescaled = noise_cfg * (std_text / jnp.maximum(std_cfg, 1e-8))
+    return guidance_rescale * rescaled + (1.0 - guidance_rescale) * noise_cfg
+
 VAE_SCALE = 0.18215  # sd-vae-ft-mse scaling_factor
 
 
@@ -161,6 +170,10 @@ class DualBranchGuidance:
         elif self.cfg.mode == "sds":
             # plain CFG against the uncond/neg slot (compute_grad_sds)
             noise_pred = e_null + self.cfg.guidance_scale * (e_text - e_null)
+            if self.cfg.guidance_rescale > 0.0:
+                noise_pred = rescale_noise_cfg(
+                    noise_pred, e_text, self.cfg.guidance_rescale
+                )
             noise_all = jnp.concatenate([noise, dnoise], axis=-1)
             score = noise_pred - noise_all
         else:
@@ -175,6 +188,112 @@ class DualBranchGuidance:
                 jnp.minimum(gnorm, self.cfg.grad_clip_threshold) * grad / gnorm
             )
         return jnp.nan_to_num(grad)
+
+    def compute_grad_sjc(self, latents, depth_latents, whole_latents, t,
+                         text_embeddings, rng, sample_idx=None,
+                         var_red: bool = True):
+        """Score-Jacobian-Chaining gradient (compute_grad_sjc:578-731):
+        sigma = sqrt((1-abar)/abar), zs = y + sigma*eps, the UNet scores
+        zs/sqrt(1+sigma^2) with 2-way CFG, Ds = zs - sigma*pred,
+        grad = -(Ds - y)/sigma (variance-reduced form)."""
+        b = latents.shape[0]
+        if sample_idx is None:
+            sample_idx = jnp.arange(b, dtype=jnp.int32)
+        abar = self.schedule.alphas_cumprod[t]
+        sigma = jnp.sqrt((1.0 - abar) / abar).reshape(b, 1, 1, 1)
+
+        k_noise, k_dnoise = jax.random.split(rng)
+        noise = per_sample_normal(k_noise, sample_idx, latents.shape)
+        dnoise = per_sample_normal(k_dnoise, sample_idx, depth_latents.shape)
+        zs = latents + sigma * noise
+        dzs = depth_latents + sigma * dnoise
+        scale = jnp.sqrt(1.0 + sigma**2)
+        scaled, dscaled = zs / scale, dzs / scale
+
+        # 2-way CFG over the [cond | neg] segments (the reference's SJC
+        # path chunks its 3-segment embedding into 2 — we take the first
+        # two segments explicitly)
+        text2 = text_embeddings[: 2 * b]
+        lat_in = jnp.concatenate(
+            [jnp.tile(scaled, (2, 1, 1, 1)),
+             jnp.tile(whole_latents, (2, 1, 1, 1))], axis=-1
+        )
+        dep_in = jnp.concatenate(
+            [jnp.tile(dscaled, (2, 1, 1, 1)),
+             jnp.tile(whole_latents, (2, 1, 1, 1))], axis=-1
+        )
+        pred = self._unet_eps(lat_in, dep_in, jnp.tile(t, (2,)), text2)
+        e_text, e_uncond = jnp.split(pred, 2, axis=0)
+        noise_pred = e_text + self.cfg.guidance_scale * (e_text - e_uncond)
+        if self.cfg.guidance_rescale > 0.0:
+            noise_pred = rescale_noise_cfg(
+                noise_pred, e_text, self.cfg.guidance_rescale
+            )
+        zs_all = jnp.concatenate([zs, dzs], axis=-1)
+        y_all = jnp.concatenate([latents, depth_latents], axis=-1)
+        sigma2 = jnp.concatenate([jnp.broadcast_to(sigma, zs.shape)] * 2, -1)
+        ds = zs_all - sigma2 * noise_pred
+        ref = y_all if var_red else zs_all
+        return jnp.nan_to_num(-(ds - ref) / sigma2)
+
+    # ---- eval rollout (guidance_eval, :934-1050) -----------------------
+    def denoise_pred(self, latents_noisy, depth_noisy, whole_latents, t,
+                     text2):
+        """2-way CFG model output for both branches (get_noise_pred)."""
+        b = latents_noisy.shape[0]
+        lat_in = jnp.concatenate(
+            [jnp.tile(latents_noisy, (2, 1, 1, 1)),
+             jnp.tile(whole_latents, (2, 1, 1, 1))], axis=-1
+        )
+        dep_in = jnp.concatenate(
+            [jnp.tile(depth_noisy, (2, 1, 1, 1)),
+             jnp.tile(whole_latents, (2, 1, 1, 1))], axis=-1
+        )
+        pred = self._unet_eps(lat_in, dep_in, jnp.tile(t, (2,)), text2)
+        e_text, e_uncond = jnp.split(pred, 2, axis=0)
+        out = e_text + self.cfg.guidance_scale * (e_text - e_uncond)
+        if self.cfg.guidance_rescale > 0.0:
+            out = rescale_noise_cfg(out, e_text, self.cfg.guidance_rescale)
+        return out
+
+    def guidance_eval(self, latents_noisy, depth_noisy, whole_latents,
+                      t_start, text2, num_steps: int = 50):
+        """50-step DDIM rollout from the current noise level; returns the
+        1-step x0 estimate and the fully-denoised images for both
+        branches (the reference's training-visualization strips)."""
+        ts = self.schedule.trailing_timesteps(num_steps)
+        sched = self.schedule
+
+        pred0 = self.denoise_pred(
+            latents_noisy, depth_noisy, whole_latents, t_start, text2
+        )
+        x0_rgb = sched.pred_original(pred0[..., :4], latents_noisy, t_start)
+        x0_depth = sched.pred_original(pred0[..., 4:], depth_noisy, t_start)
+
+        lat, dep = latents_noisy, depth_noisy
+        for i, t_i in enumerate(ts):
+            t_prev = ts[i + 1] if i + 1 < len(ts) else -1
+            t_arr = jnp.full(t_start.shape, t_i, jnp.int32)
+            active = (t_i <= t_start).reshape((-1,) + (1,) * 3)
+            pred = self.denoise_pred(lat, dep, whole_latents, t_arr, text2)
+            lat_next = sched.ddim_step(
+                pred[..., :4], lat, t_arr, jnp.full_like(t_arr, t_prev)
+            )
+            dep_next = sched.ddim_step(
+                pred[..., 4:], dep, t_arr, jnp.full_like(t_arr, t_prev)
+            )
+            lat = jnp.where(active, lat_next, lat)
+            dep = jnp.where(active, dep_next, dep)
+
+        def undepth(z):  # invert the depth-latent renormalization
+            return (z - RGB_MEAN) / RGB_STD * DEPTH_STD + DEPTH_MEAN
+
+        return {
+            "imgs_1step": self.decode_latents(x0_rgb),
+            "depths_1step": self.decode_latents(undepth(x0_depth)),
+            "imgs_final": self.decode_latents(lat),
+            "depths_final": self.decode_latents(undepth(dep)),
+        }
 
     # ---- the public step ----------------------------------------------
     def __call__(
@@ -208,7 +327,10 @@ class DualBranchGuidance:
         )
         whole_latents = jax.lax.stop_gradient(whole_latents)
 
-        grad = self.compute_grad(
+        grad_fn = (
+            self.compute_grad_sjc if self.cfg.mode == "sjc" else self.compute_grad
+        )
+        grad = grad_fn(
             jax.lax.stop_gradient(latents),
             jax.lax.stop_gradient(depth_latents),
             whole_latents,

@@ -453,3 +453,59 @@ def _tiny_vae_torch_state_dict(ref_params):
     conv_leaves(p["quant_conv"], "quant_conv")
     conv_leaves(p["post_quant_conv"], "post_quant_conv")
     return sd
+
+
+class TestSJCAndEval:
+    def test_sjc_grad_finite(self):
+        g = make_guidance()
+        import dataclasses
+
+        g = dataclasses.replace(g, cfg=dataclasses.replace(g.cfg, mode="sjc"))
+        rng = jax.random.PRNGKey(4)
+        text = jax.random.normal(jax.random.PRNGKey(5), (3, 7, 32))
+        lat = jnp.ones((1, 8, 8, 4)) * 0.2
+        grad = g.compute_grad_sjc(lat, lat, lat, jnp.array([500]), text, rng)
+        assert grad.shape == (1, 8, 8, 8)
+        assert np.isfinite(np.asarray(grad)).all()
+
+    def test_sjc_dispatch_in_call(self):
+        import dataclasses
+
+        g = make_guidance()
+        g = dataclasses.replace(g, cfg=dataclasses.replace(g.cfg, mode="sjc"))
+        rng = jax.random.PRNGKey(6)
+        b, h = 1, 16
+        text = jax.random.normal(jax.random.PRNGKey(7), (3 * b, 7, 32))
+        out = g(
+            jnp.full((b, h, h, 3), 0.2),
+            jnp.full((b, h, h, 3), 0.5),
+            jnp.full((b, h, h, 3), 0.3),
+            text,
+            jnp.array([400]),
+            rng,
+        )
+        assert np.isfinite(float(out["loss_sds"]))
+
+    def test_guidance_eval_rollout(self):
+        g = make_guidance()
+        rng = jax.random.PRNGKey(8)
+        b = 1
+        text2 = jax.random.normal(jax.random.PRNGKey(9), (2 * b, 7, 32))
+        lat = jax.random.normal(rng, (b, 8, 8, 4))
+        out = g.guidance_eval(
+            lat, lat * 0.5, jnp.zeros_like(lat), jnp.array([700]), text2,
+            num_steps=4,
+        )
+        for k in ("imgs_1step", "imgs_final", "depths_1step", "depths_final"):
+            img = np.asarray(out[k])
+            assert img.shape == (b, 16, 16, 3)
+            assert np.isfinite(img).all()
+            assert img.min() >= 0.0 and img.max() <= 1.0
+
+    def test_shard_invariant_noise(self):
+        from humangaussian_tpu.guidance.dual_branch import per_sample_normal
+
+        key = jax.random.PRNGKey(0)
+        full = per_sample_normal(key, jnp.arange(4), (4, 3, 3))
+        half = per_sample_normal(key, jnp.arange(2, 4), (2, 3, 3))
+        np.testing.assert_allclose(np.asarray(full)[2:], np.asarray(half))
