@@ -104,6 +104,87 @@ class PromptEmbeddings(NamedTuple):
         return jnp.concatenate([cond, neg, null], axis=0)
 
 
+def shifted_exponential_decay(a, b, c, r):
+    """a*exp(-b*r)+c (threestudio/utils/ops.py:423-424)."""
+    return a * jnp.exp(-b * r) + c
+
+
+def perpendicular_component(x, y):
+    """Component of x perpendicular to y, batched over axis 0
+    (threestudio/utils/ops.py:431-438)."""
+    axes = tuple(range(1, x.ndim))
+    dot = jnp.sum(x * y, axis=axes, keepdims=True)
+    nrm = jnp.sum(y * y, axis=axes, keepdims=True)
+    return x - dot / jnp.maximum(nrm, 1e-6) * y
+
+
+# default Perp-Neg decay coefficients (prompt_processors/base.py Config)
+PERP_NEG_F_SB = (1.0, 0.5, -0.606)
+PERP_NEG_F_FSB = (1.0, 0.5, 0.967)
+PERP_NEG_F_FS = (4.0, 0.5, -2.426)
+PERP_NEG_F_SF = (4.0, 0.5, -2.426)
+
+
+def get_text_embeddings_perp_neg(
+    emb: "PromptEmbeddings",
+    elevation,
+    azimuth,
+    camera_distances=None,
+    f_sb=PERP_NEG_F_SB,
+    f_fsb=PERP_NEG_F_FSB,
+    f_fs=PERP_NEG_F_FS,
+    f_sf=PERP_NEG_F_SF,
+    **thresholds,
+):
+    """Perp-Neg embeddings (base.py:85-170): positive prompt interpolated
+    between front/side/back by azimuth; two negative-direction prompts per
+    camera with signed guidance weights. Returns ([4B, L, D] embeddings in
+    [pos | uncond | neg1,neg2 interleaved] order, weights [B, 2])."""
+    az = shift_azimuth_deg(azimuth)
+    idx = direction_index(elevation, azimuth, **thresholds)
+    side, front, back, overhead = (
+        emb.text_vd[0], emb.text_vd[1], emb.text_vd[2], emb.text_vd[3]
+    )
+    uncond = emb.uncond_vd[idx]  # [B, L, D]
+
+    abs_az = jnp.abs(az)
+    is_over = (idx == 3)[:, None, None]
+    is_fs = (abs_az < 90.0)[:, None, None]
+    r_fs = 1.0 - jnp.abs(az) / 90.0  # 1=front, 0=side
+    r_sb = 2.0 - jnp.abs(az) / 90.0  # 1=side, 0=back
+
+    pos_fs = r_fs[:, None, None] * front + (1 - r_fs)[:, None, None] * side
+    pos_sb = r_sb[:, None, None] * side + (1 - r_sb)[:, None, None] * back
+    pos = jnp.where(is_over, overhead, jnp.where(is_fs, pos_fs, pos_sb))
+
+    b = az.shape[0]
+    bfront = jnp.broadcast_to(front, (b,) + front.shape)
+    bside = jnp.broadcast_to(side, (b,) + side.shape)
+    neg1 = jnp.where(is_over, uncond, jnp.where(is_fs, bfront, bside))
+    neg2 = jnp.where(is_over, uncond, jnp.where(is_fs, bside, bfront))
+
+    w1 = jnp.where(
+        idx == 3, 0.0,
+        jnp.where(
+            abs_az < 90.0,
+            -shifted_exponential_decay(*f_fs, r_fs),
+            -shifted_exponential_decay(*f_sb, r_sb),
+        ),
+    )
+    w2 = jnp.where(
+        idx == 3, 0.0,
+        jnp.where(
+            abs_az < 90.0,
+            -shifted_exponential_decay(*f_sf, 1.0 - r_fs),
+            -shifted_exponential_decay(*f_fsb, r_sb),
+        ),
+    )
+    # negatives interleaved per camera, as the reference lists them
+    negs = jnp.stack([neg1, neg2], axis=1).reshape((2 * b,) + neg1.shape[1:])
+    out = jnp.concatenate([pos, uncond, negs], axis=0)
+    return out, jnp.stack([w1, w2], axis=1)
+
+
 @dataclasses.dataclass
 class PromptProcessorConfig:
     prompt: str = ""

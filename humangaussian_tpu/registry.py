@@ -1,0 +1,62 @@
+"""Component registry: name -> constructor, as the reference's
+threestudio.register/find (/root/reference/threestudio/__init__.py:1-13).
+
+Lets configs select implementations by string (`system_type:
+"gaussiandreamer-system"`); the stock names below mirror the reference's
+registry entries that this framework implements.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+_REGISTRY: dict[str, Callable] = {}
+
+
+def register(name: str):
+    def decorator(cls):
+        if name in _REGISTRY and _REGISTRY[name] is not cls:
+            raise ValueError(f"duplicate registry name {name!r}")
+        _REGISTRY[name] = cls
+        return cls
+
+    return decorator
+
+
+def find(name: str) -> Callable:
+    if name not in _REGISTRY:
+        # populate lazily so importing the registry stays cheap
+        _register_builtins()
+    if name not in _REGISTRY:
+        raise KeyError(
+            f"unknown component {name!r}; known: {sorted(_REGISTRY)}"
+        )
+    return _REGISTRY[name]
+
+
+def names() -> list[str]:
+    _register_builtins()
+    return sorted(_REGISTRY)
+
+
+_BUILTINS_DONE = False
+
+
+def _register_builtins():
+    global _BUILTINS_DONE
+    if _BUILTINS_DONE:
+        return
+    _BUILTINS_DONE = True
+    from humangaussian_tpu.data.cameras import RandomCameraConfig
+    from humangaussian_tpu.guidance.dual_branch import DualBranchGuidance
+    from humangaussian_tpu.guidance.prompt import PromptProcessor
+    from humangaussian_tpu.train.photo import PhotoTrainer
+    from humangaussian_tpu.train.system import GaussianDreamerSystem
+
+    _REGISTRY.setdefault("gaussiandreamer-system", GaussianDreamerSystem)
+    _REGISTRY.setdefault("dual-branch-guidance", DualBranchGuidance)
+    _REGISTRY.setdefault(
+        "texture-structure-prompt-processor", PromptProcessor
+    )
+    _REGISTRY.setdefault("stable-diffusion-prompt-processor", PromptProcessor)
+    _REGISTRY.setdefault("random-camera-datamodule", RandomCameraConfig)
+    _REGISTRY.setdefault("photo-3dgs-trainer", PhotoTrainer)
