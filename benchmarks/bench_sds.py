@@ -12,7 +12,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -85,7 +89,9 @@ def main():
     )
     skel = Skeleton(style="humansd", apose=True).load_smplx(toy_model()).scale(-10)
     system = GaussianDreamerSystem(
-        GaussianDreamerConfig(capacity=args.capacity, pts_num=100_000),
+        GaussianDreamerConfig(
+            capacity=args.capacity, pts_num=min(100_000, args.capacity // 2)
+        ),
         skel, guidance, emb,
         camera_cfg=RandomCameraConfig(
             batch_size=args.batch, height=args.res, width=args.res

@@ -295,6 +295,52 @@ class DualBranchGuidance:
             "depths_final": self.decode_latents(undepth(dep)),
         }
 
+    def sample_joint(self, pose_image, text2, rng, num_steps: int = 50):
+        """Full text->(image, depth) inference sampling, the counterpart
+        of the reference's StableDiffusionPipeline for the dual-branch
+        model (models/pipeline_rgbdepth.py:811-872): joint DDIM denoising
+        of rgb and depth latents from pure noise, both conditioned on the
+        pose image; depth latents un-normalized before decoding.
+
+        pose_image: [B,H,W,3] in [0,1]; text2: [2B,L,D] = [cond | neg].
+        Returns (images [B,H,W,3], depths [B,H,W,3]) in [0,1].
+        """
+        b = pose_image.shape[0]
+        s = self.cfg.image_size
+        lat = self.cfg.latent_size
+        k_pose, k_lat, k_dep = jax.random.split(rng, 3)
+        pose = jax.image.resize(pose_image, (b, s, s, 3), "bilinear")
+        whole_latents = self.encode_images(pose, k_pose)
+        whole_latents = (
+            (whole_latents - WHOLE_MEAN) / WHOLE_STD * RGB_STD + RGB_MEAN
+        )
+        shape = (b, lat, lat, 4)
+        latents = jax.random.normal(k_lat, shape, jnp.float32)
+        depth_latents = jax.random.normal(k_dep, shape, jnp.float32)
+
+        ts = self.schedule.trailing_timesteps(num_steps)
+        for i, t_i in enumerate(ts):
+            t_prev = ts[i + 1] if i + 1 < len(ts) else -1
+            t_arr = jnp.full((b,), t_i, jnp.int32)
+            pred = self.denoise_pred(
+                latents, depth_latents, whole_latents, t_arr, text2
+            )
+            latents = self.schedule.ddim_step(
+                pred[..., :4], latents, t_arr, jnp.full_like(t_arr, t_prev)
+            )
+            depth_latents = self.schedule.ddim_step(
+                pred[..., 4:], depth_latents, t_arr,
+                jnp.full_like(t_arr, t_prev),
+            )
+
+        depth_out = (
+            (depth_latents - RGB_MEAN) / RGB_STD * DEPTH_STD + DEPTH_MEAN
+        )
+        return (
+            self.decode_latents(latents),
+            self.decode_latents(depth_out),
+        )
+
     # ---- the public step ----------------------------------------------
     def __call__(
         self,

@@ -509,3 +509,42 @@ class TestSJCAndEval:
         full = per_sample_normal(key, jnp.arange(4), (4, 3, 3))
         half = per_sample_normal(key, jnp.arange(2, 4), (2, 3, 3))
         np.testing.assert_allclose(np.asarray(full)[2:], np.asarray(half))
+
+
+class TestSampling:
+    def test_sample_joint(self):
+        g = make_guidance()
+        rng = jax.random.PRNGKey(11)
+        pose = jnp.zeros((1, 16, 16, 3))
+        text2 = jax.random.normal(jax.random.PRNGKey(12), (2, 7, 32))
+        imgs, depths = g.sample_joint(pose, text2, rng, num_steps=3)
+        assert imgs.shape == (1, 16, 16, 3)
+        assert depths.shape == (1, 16, 16, 3)
+        for x in (imgs, depths):
+            arr = np.asarray(x)
+            assert np.isfinite(arr).all()
+            assert arr.min() >= 0.0 and arr.max() <= 1.0
+
+    def test_perp_neg_embeddings(self):
+        from humangaussian_tpu.guidance.prompt import (
+            get_text_embeddings_perp_neg,
+        )
+
+        emb = PromptEmbeddings(
+            text_vd=jnp.arange(4 * 7 * 8, dtype=jnp.float32).reshape(4, 7, 8),
+            uncond_vd=jnp.zeros((4, 7, 8)),
+            text=jnp.zeros((7, 8)),
+            uncond=jnp.zeros((7, 8)),
+            null=jnp.zeros((7, 8)),
+        )
+        ele = jnp.array([0.0, 0.0, 70.0])
+        azi = jnp.array([0.0, 135.0, 0.0])  # front, side-back, overhead
+        out, weights = get_text_embeddings_perp_neg(emb, ele, azi)
+        assert out.shape == (4 * 3, 7, 8)
+        assert weights.shape == (3, 2)
+        # pure front view: positive embedding == front embedding
+        np.testing.assert_allclose(out[0], emb.text_vd[1], atol=1e-5)
+        # overhead: zero negative weights
+        np.testing.assert_allclose(np.asarray(weights)[2], 0.0)
+        # interpolating views have nonzero signed weights
+        assert np.abs(np.asarray(weights)[:2]).max() > 0
