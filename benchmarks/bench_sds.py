@@ -66,14 +66,14 @@ def main():
     unet = DualBranchUNet(ucfg)
     x = jnp.zeros((1, latent, latent, 8), jnp.float32)
     t0 = time.time()
-    uparams = unet.init(
+    uparams = jax.jit(unet.init)(
         rng, x, x, jnp.zeros((1,)), jnp.zeros((1, 77, ctx_dim)),
         jnp.zeros((1, 6)),
     )
     n_params = sum(p.size for p in jax.tree.leaves(uparams))
     print(f"unet params: {n_params/1e6:.1f}M (init {time.time()-t0:.1f}s)", flush=True)
     vae = AutoencoderKL(vcfg)
-    vparams = vae.init(rng, jnp.zeros((1, img, img, 3)), rng)
+    vparams = jax.jit(vae.init)(rng, jnp.zeros((1, img, img, 3)), rng)
 
     guidance = DualBranchGuidance(
         unet=unet, unet_params=uparams, vae=vae, vae_params=vparams,
