@@ -220,6 +220,84 @@ def convert_unet_state_dict(
     return {"params": params}, unmatched
 
 
+def convert_controlnet_state_dict(sd: dict) -> dict:
+    """diffusers ControlNetModel state_dict -> flax params for
+    guidance.controlnet.ControlNet. Shares the down/mid mapping with the
+    UNet converter; adds the conditioning embed and zero-conv taps."""
+    params: dict = {}
+    unmatched = []
+
+    def put(path, torch_key, value):
+        _assign(params, list(path), _convert_leaf(torch_key, value, path[-1]))
+
+    import re as _re
+
+    for key, value in sd.items():
+        k = key
+        simple = {
+            "conv_in.weight": ("conv_in", "kernel"),
+            "conv_in.bias": ("conv_in", "bias"),
+            "time_embedding.linear_1.weight": ("time_embedding", "linear_1", "kernel"),
+            "time_embedding.linear_1.bias": ("time_embedding", "linear_1", "bias"),
+            "time_embedding.linear_2.weight": ("time_embedding", "linear_2", "kernel"),
+            "time_embedding.linear_2.bias": ("time_embedding", "linear_2", "bias"),
+            "controlnet_cond_embedding.conv_in.weight": ("cond_conv_in", "kernel"),
+            "controlnet_cond_embedding.conv_in.bias": ("cond_conv_in", "bias"),
+            "controlnet_cond_embedding.conv_out.weight": ("cond_conv_out", "kernel"),
+            "controlnet_cond_embedding.conv_out.bias": ("cond_conv_out", "bias"),
+            "controlnet_mid_block.weight": ("controlnet_mid_block", "kernel"),
+            "controlnet_mid_block.bias": ("controlnet_mid_block", "bias"),
+        }
+        if k in simple:
+            put(simple[k], k, value)
+            continue
+        m = _re.match(r"controlnet_cond_embedding\.blocks\.(\d+)\.(weight|bias)$", k)
+        if m:
+            j, leaf = int(m.group(1)), m.group(2)
+            # diffusers alternates non-strided/strided convs in `blocks`
+            name = f"cond_block_{j // 2}{'a' if j % 2 == 0 else 'b'}"
+            put((name, "kernel" if leaf == "weight" else "bias"), k, value)
+            continue
+        m = _re.match(r"controlnet_down_blocks\.(\d+)\.(weight|bias)$", k)
+        if m:
+            put(
+                (f"controlnet_down_block_{m.group(1)}",
+                 "kernel" if m.group(2) == "weight" else "bias"),
+                k, value,
+            )
+            continue
+        m = _re.match(
+            r"down_blocks\.(\d+)\.(resnets|attentions|downsamplers)\.(\d+)\.(.+)$", k
+        )
+        if m:
+            idx, sub, j, rest = m.groups()
+            blk = f"down_block_{idx}"
+            if sub == "resnets":
+                mapped = _map_resnet(rest)
+                if mapped:
+                    put((blk, f"resnet_{j}") + mapped, k, value)
+                    continue
+            elif sub == "attentions":
+                mapped = _map_transformer(rest)
+                if mapped:
+                    put((blk, f"attn_{j}") + mapped, k, value)
+                    continue
+            elif rest.startswith("conv."):
+                put((blk, "downsample",
+                     rest.split(".")[1].replace("weight", "kernel")), k, value)
+                continue
+        m = _re.match(r"mid_block\.(resnets|attentions)\.(\d+)\.(.+)$", k)
+        if m:
+            sub, j, rest = m.groups()
+            mapped = _map_resnet(rest) if sub == "resnets" else _map_transformer(rest)
+            if mapped:
+                name = f"resnet_{j}" if sub == "resnets" else f"attn_{j}"
+                put(("mid_block", name) + mapped, k, value)
+                continue
+        unmatched.append(k)
+    return {"params": params}, unmatched
+
+
 _VAE_ATTN = {
     "group_norm.weight": ("group_norm", "scale"),
     "group_norm.bias": ("group_norm", "bias"),

@@ -24,6 +24,32 @@ from humangaussian_tpu.utils.saving import (
 )
 
 
+def snapshot_code(save_dir: str) -> str | None:
+    """Copy the git-tracked source into the trial dir (the reference's
+    CodeSnapshotCallback, threestudio/utils/callbacks.py:60-94)."""
+    import shutil
+    import subprocess
+
+    try:
+        root = subprocess.check_output(
+            ["git", "rev-parse", "--show-toplevel"], text=True
+        ).strip()
+        files = subprocess.check_output(
+            ["git", "ls-files"], cwd=root, text=True
+        ).splitlines()
+    except Exception:
+        return None
+    dst_root = os.path.join(save_dir, "code")
+    for rel in files:
+        src = os.path.join(root, rel)
+        if not os.path.isfile(src):
+            continue
+        dst = os.path.join(dst_root, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copy2(src, dst)
+    return dst_root
+
+
 def run_training(
     system,
     state,
