@@ -160,3 +160,76 @@ class TestPhotoOverfit:
         op = np.asarray(jax.nn.sigmoid(s2.scene.opacity_logits))[:50]
         assert op.max() <= 0.01 + 1e-5
         assert float(s2.adam.mu["opacity_logits"].sum()) == 0.0
+
+
+class TestLPIPS:
+    def test_identity_zero_and_sensitivity(self):
+        torch = pytest.importorskip("torch")
+        from humangaussian_tpu.perceptual import (
+            LPIPS,
+            load_lpips_params,
+            lpips_fn,
+        )
+
+        # synthetic torchvision-style VGG16 features state_dict
+        rng = np.random.RandomState(0)
+        conv_ids = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+        chans = [64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512]
+        sd = {}
+        cin = 3
+        for tid, ch in zip(conv_ids, chans):
+            sd[f"features.{tid}.weight"] = rng.randn(ch, cin, 3, 3).astype(np.float32) * 0.05
+            sd[f"features.{tid}.bias"] = np.zeros(ch, np.float32)
+            cin = ch
+        params = load_lpips_params(sd)
+        fn = lpips_fn(params)
+        a = jnp.asarray(rng.rand(1, 32, 32, 3), jnp.float32)
+        d_same = float(fn(a, a)[0])
+        assert d_same == pytest.approx(0.0, abs=1e-6)
+        b = jnp.clip(a + 0.3, 0, 1)
+        assert float(fn(a, b)[0]) > 1e-5
+
+    def test_vgg_conv_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+        from humangaussian_tpu.perceptual import VGG16Features, load_lpips_params
+
+        rng = np.random.RandomState(1)
+        w = rng.randn(64, 3, 3, 3).astype(np.float32) * 0.1
+        b = rng.randn(64).astype(np.float32)
+        sd = {"features.0.weight": w, "features.0.bias": b}
+        conv_ids = [2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+        chans = [64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512]
+        cin = 64
+        for tid, ch in zip(conv_ids, chans):
+            sd[f"features.{tid}.weight"] = np.zeros((ch, cin, 3, 3), np.float32)
+            sd[f"features.{tid}.bias"] = np.zeros(ch, np.float32)
+            cin = ch
+        params = load_lpips_params(sd)
+        x = rng.rand(1, 8, 8, 3).astype(np.float32)
+        taps = VGG16Features().apply(
+            {"params": params["params"]["vgg"]}, jnp.asarray(x)
+        )
+        with torch.no_grad():
+            ref = F.relu(
+                F.conv2d(
+                    torch.tensor(x.transpose(0, 3, 1, 2)),
+                    torch.tensor(w), torch.tensor(b), padding=1,
+                )
+            ).numpy()
+        got = np.asarray(
+            VGG16Features().apply(
+                {"params": params["params"]["vgg"]}, jnp.asarray(x)
+            )[0]
+        )
+        # tap 0 comes after conv_0 relu AND conv_1 relu; with conv_1 = 0
+        # weights the output is relu(bias)=0, so compare the first conv
+        # through a single-layer probe instead
+        from flax import linen as fnn
+
+        probe = fnn.Conv(64, (3, 3), padding=1)
+        pp = {"params": params["params"]["vgg"]["conv_0"]}
+        ours = np.asarray(fnn.relu(probe.apply(pp, jnp.asarray(x))))
+        np.testing.assert_allclose(
+            ours.transpose(0, 3, 1, 2), ref, atol=1e-5
+        )
