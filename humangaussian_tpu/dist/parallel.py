@@ -70,17 +70,17 @@ def make_dp_train_step(system, mesh: Mesh, axis: str = "data"):
     replicated = P()
     batch_first = P(axis)
 
-    def sharded_grads(scene, cameras, pose, text3, t, k_guid, step):
+    def sharded_grads(scene, cameras, pose, text3, t, k_guid, step, guidance):
         params = scene.params()
         offset = jnp.zeros((system.cfg.capacity, 2), jnp.float32)
         sample_idx = jnp.arange(b, dtype=jnp.int32)
 
-        def shard_fn(cameras, pose, text3, t, sample_idx):
+        def shard_fn(cameras, pose, text3, t, sample_idx, guidance):
             def loss_fn(params, offset):
                 return system.batch_loss(
                     params, offset, scene, cameras, pose, text3, t,
                     k_guid, step, axis_name=axis, n_shards=n, global_batch=b,
-                    sample_idx=sample_idx,
+                    sample_idx=sample_idx, guidance=guidance,
                 )
 
             (loss, aux), grads = jax.value_and_grad(
@@ -100,27 +100,30 @@ def make_dp_train_step(system, mesh: Mesh, axis: str = "data"):
             }
             return loss, aux, param_grads, means2d_grad
 
-        # cameras/pose/t/idx shard on the batch axis; text3 on its axis 1
+        # cameras/pose/t/idx shard on the batch axis; text3 on its axis 1;
+        # guidance params replicated (every chip holds the full prior)
         cam_spec = jax.tree.map(lambda _: batch_first, cameras)
         cam_spec = cam_spec._replace(is_head=replicated, is_back=replicated)
+        guid_spec = jax.tree.map(lambda _: replicated, guidance)
         return shard_map(
             shard_fn,
             mesh=mesh,
             in_specs=(
-                cam_spec, batch_first, P(None, axis), batch_first, batch_first,
+                cam_spec, batch_first, P(None, axis), batch_first,
+                batch_first, guid_spec,
             ),
             out_specs=(replicated, replicated, replicated, replicated),
             check_rep=False,
-        )(cameras, pose, text3, t, sample_idx)
+        )(cameras, pose, text3, t, sample_idx, guidance)
 
     @jax.jit
-    def dp_train_step(state: TrainState):
+    def _dp_train_step(state: TrainState, guidance):
         cfg = system.cfg
         key, k_guid, cameras, pose, text3, t = system.sample_step_inputs(state)
         step = state.step
 
         loss, aux, param_grads, means2d_grad = sharded_grads(
-            state.scene, cameras, pose, text3, t, k_guid, step
+            state.scene, cameras, pose, text3, t, k_guid, step, guidance
         )
 
         visible = aux["radii"] > 0
@@ -156,5 +159,8 @@ def make_dp_train_step(system, mesh: Mesh, axis: str = "data"):
             ),
             metrics,
         )
+
+    def dp_train_step(state: TrainState):
+        return _dp_train_step(state, system.guidance)
 
     return dp_train_step

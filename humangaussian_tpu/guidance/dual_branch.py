@@ -27,6 +27,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 
@@ -80,16 +81,22 @@ class GuidanceConfig:
     image_size: int = 512
 
 
-@dataclasses.dataclass
+@flax.struct.dataclass
 class DualBranchGuidance:
-    """Bundles modules+params; methods are jit-friendly pure functions."""
+    """Bundles modules+params; methods are jit-friendly pure functions.
 
-    unet: Any  # DualBranchUNet module
-    unet_params: Any
-    vae: Any  # AutoencoderKL module
-    vae_params: Any
-    schedule: DiffusionSchedule
-    cfg: GuidanceConfig = GuidanceConfig()
+    A PYTREE (flax.struct): the ~900M-param unet_params/vae_params leaves
+    travel as jit ARGUMENTS — closing over them via `self` would bake
+    gigabytes of constants into every compiled train step."""
+
+    unet: Any = flax.struct.field(pytree_node=False)  # DualBranchUNet module
+    unet_params: Any = None
+    vae: Any = flax.struct.field(pytree_node=False, default=None)
+    vae_params: Any = None
+    schedule: DiffusionSchedule = None
+    cfg: GuidanceConfig = flax.struct.field(
+        pytree_node=False, default=GuidanceConfig()
+    )
 
     # ---- VAE transport (dual_branch_guidance.py:237-249) --------------
     def encode_images(self, imgs, rng, sample_idx=None):

@@ -13,8 +13,7 @@ The rescaled `alphas_cumprod` is what the guidance reads for both
 """
 from __future__ import annotations
 
-import dataclasses
-
+import flax.struct
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,13 +30,17 @@ def _rescale_zero_terminal_snr(alphas_cumprod: np.ndarray) -> np.ndarray:
     return abar_sqrt**2
 
 
-@dataclasses.dataclass(frozen=True)
+@flax.struct.dataclass
 class DiffusionSchedule:
-    """Immutable schedule tables (host numpy -> jnp on use)."""
+    """Immutable schedule tables. A PYTREE (flax.struct) so guidance
+    objects can be passed as jit arguments instead of being baked into
+    compiled programs as constants."""
 
     alphas_cumprod: jnp.ndarray  # [T]
-    num_train_timesteps: int = 1000
-    prediction_type: str = "v_prediction"
+    num_train_timesteps: int = flax.struct.field(pytree_node=False, default=1000)
+    prediction_type: str = flax.struct.field(
+        pytree_node=False, default="v_prediction"
+    )
 
     @classmethod
     def create(

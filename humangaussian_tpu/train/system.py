@@ -207,7 +207,7 @@ class GaussianDreamerSystem:
     def batch_loss(
         self, params, offset, scene_template, cameras, pose, text3, t,
         key, step, axis_name=None, n_shards=1, global_batch=None,
-        sample_idx=None,
+        sample_idx=None, guidance=None,
     ):
         """Loss over a (shard of the) camera batch.
 
@@ -241,8 +241,10 @@ class GaussianDreamerSystem:
         dmax = jnp.max(depths, axis=(1, 2, 3), keepdims=True)
         depth3 = jnp.repeat((depths - dmin) / (dmax - dmin + 1e-10), 3, axis=-1)
 
+        if guidance is None:
+            guidance = self.guidance
         text = text3.reshape((-1,) + text3.shape[2:])  # [3b, L, D]
-        g_out = self.guidance(
+        g_out = guidance(
             pose, images, depth3, text, t, key,
             grad_clip_val=C_schedule(cfg.grad_clip, step),
             sample_idx=sample_idx,
@@ -297,17 +299,29 @@ class GaussianDreamerSystem:
         return key, k_guid, cameras, pose, text3, t
 
     # ---- the train step ----------------------------------------------
-    @functools.partial(jax.jit, static_argnums=(0,))
     def train_step(self, state: TrainState):
+        """Guidance (the big UNet/VAE param pytrees) rides as a jit
+        ARGUMENT — closing over it would capture gigabytes of constants
+        in the compiled program."""
+        return self._train_step(state, self.guidance)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _train_step(self, state: TrainState, guidance):
         cfg = self.cfg
         key, k_guid, cameras, pose, text3, t = self.sample_step_inputs(state)
         step = state.step
         params = state.scene.params()
         offset = jnp.zeros((cfg.capacity, 2), jnp.float32)
 
+        def loss_fn(params, offset):
+            return self.batch_loss(
+                params, offset, state.scene, cameras, pose, text3, t,
+                k_guid, step, guidance=guidance,
+            )
+
         (loss, aux), grads = jax.value_and_grad(
-            self.batch_loss, argnums=(0, 1), has_aux=True
-        )(params, offset, state.scene, cameras, pose, text3, t, k_guid, step)
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, offset)
         param_grads, means2d_grad = grads
 
         # densification stats (on_before_optimizer_step, :378-391)
