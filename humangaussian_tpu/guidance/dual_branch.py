@@ -369,8 +369,14 @@ class DualBranchGuidance:
         def resize(x):
             return jax.image.resize(x, (b, s, s, 3), "bilinear")
 
-        latents = self.encode_images(resize(rgb), k_rgb, sample_idx)
-        depth_latents = self.encode_images(resize(depth), k_depth, sample_idx)
+        # remat the VAE encodes: their conv activations at 512^2 x batch
+        # dominate backward HBM (1GB-class f32 temps); recomputing the
+        # encoder in the backward trades ~ms for gigabytes
+        encode = jax.checkpoint(
+            lambda img, key: self.encode_images(img, key, sample_idx)
+        )
+        latents = encode(resize(rgb), k_rgb)
+        depth_latents = encode(resize(depth), k_depth)
         depth_latents = (
             (depth_latents - DEPTH_MEAN) / DEPTH_STD * RGB_STD + RGB_MEAN
         )

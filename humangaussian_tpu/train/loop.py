@@ -58,6 +58,7 @@ def run_training(
     save_dir: str | None = None,
     log_every: int = 10,
     log_fn=print,
+    guidance_eval_interval: int = 0,  # 0 = off (ref hard-codes it off)
 ):
     """Train to max_steps. Returns (state, metrics_history)."""
     cfg = system.cfg
@@ -98,6 +99,28 @@ def run_training(
             save_image_grid(
                 os.path.join(save_dir, f"it{step}-val.png"),
                 np.asarray(out["image"]),
+            )
+        if (
+            save_dir and guidance_eval_interval
+            and step % guidance_eval_interval == 0
+        ):
+            import jax as _jax
+
+            strips = system.guidance_eval_snapshot(state)
+            hw = np.asarray(strips["imgs_final"][0]).shape[:2]
+            row = np.concatenate(
+                [
+                    np.asarray(
+                        _jax.image.resize(strips[k][0], hw + (3,), "bilinear")
+                    )
+                    for k in ("render", "pose", "imgs_1step", "imgs_final",
+                              "depths_1step", "depths_final")
+                    if k in strips
+                ],
+                axis=1,
+            )
+            save_image_grid(
+                os.path.join(save_dir, f"it{step}-guidance.png"), [row]
             )
 
     if save_dir:

@@ -175,6 +175,11 @@ class GaussianDreamerSystem:
         if means2d_offset is None:
             means2d_offset = jnp.zeros((scene.capacity, 2), jnp.float32)
 
+        # remat: without it the vmapped backward keeps every camera's
+        # binned pair tensor (~270MB each) live simultaneously — at batch
+        # 8 x 1024^2 that alone is ~2GB of HBM residuals. Recomputing the
+        # projection/binning in the backward costs a few ms per camera.
+        @jax.checkpoint
         def render_one(c2w, fovy):
             cam = camera_from_c2w(c2w, fovy, height, width)
             return rasterize_tiled(
@@ -415,6 +420,56 @@ class GaussianDreamerSystem:
         if self.should_prune_only(step):
             return self.prune_only_step(state)
         return state, None
+
+    def guidance_eval_snapshot(self, state: TrainState, t_frac: float = 0.5,
+                               num_steps: int = 20):
+        """Training-time guidance visualization (the reference's
+        guidance_eval / guidance_evaluation_save,
+        dual_branch_guidance.py:934-1050, GaussianDreamer.py:582-676):
+        noise the current render to t, then show the 1-step and fully
+        DDIM-denoised images for both branches."""
+        g = self.guidance
+        key, k_cam, k_enc, k_noise = jax.random.split(state.key, 4)
+        cameras = sample_camera_batch(k_cam, state.step, self.camera_cfg)
+        pose = self.pose_images(cameras)
+        out = self.render_batch(
+            state.scene, cameras, self.camera_cfg.height, self.camera_cfg.width
+        )
+        b = out["image"].shape[0]
+        s = g.cfg.image_size
+
+        def resize(x):
+            return jax.image.resize(x, (b, s, s, 3), "bilinear")
+
+        depths = out["depth"][..., None]
+        dmin = jnp.min(depths, axis=(1, 2, 3), keepdims=True)
+        dmax = jnp.max(depths, axis=(1, 2, 3), keepdims=True)
+        depth3 = jnp.repeat((depths - dmin) / (dmax - dmin + 1e-10), 3, -1)
+
+        from humangaussian_tpu.guidance.dual_branch import (
+            DEPTH_MEAN, DEPTH_STD, RGB_MEAN, RGB_STD, WHOLE_MEAN, WHOLE_STD,
+        )
+
+        latents = g.encode_images(resize(out["image"]), k_enc)
+        dep_lat = g.encode_images(resize(depth3), k_enc)
+        dep_lat = (dep_lat - DEPTH_MEAN) / DEPTH_STD * RGB_STD + RGB_MEAN
+        whole = g.encode_images(resize(pose), k_enc)
+        whole = (whole - WHOLE_MEAN) / WHOLE_STD * RGB_STD + RGB_MEAN
+
+        t = jnp.full((b,), int(g.schedule.num_train_timesteps * t_frac), jnp.int32)
+        noise = jax.random.normal(k_noise, latents.shape)
+        lat_noisy = g.schedule.add_noise(latents, noise, t)
+        dep_noisy = g.schedule.add_noise(dep_lat, noise, t)
+        text3 = self.prompt_embeddings.get_text_embeddings(
+            cameras.elevation, cameras.azimuth, cameras.camera_distances
+        )
+        text2 = text3[: 2 * b]
+        strips = g.guidance_eval(
+            lat_noisy, dep_noisy, whole, t, text2, num_steps=num_steps
+        )
+        strips["render"] = out["image"]
+        strips["pose"] = pose
+        return strips
 
     # ---- eval ---------------------------------------------------------
     def render_eval(self, scene: GaussianScene, split: str = "val",

@@ -53,3 +53,17 @@ class TestLoop:
         out = snapshot_code(str(tmp_path))
         assert out is not None
         assert os.path.exists(os.path.join(out, "bench.py"))
+
+    def test_guidance_eval_snapshot(self, tmp_path):
+        system = tiny_system()
+        state = system.init_state(jax.random.PRNGKey(0))
+        save_dir = str(tmp_path / "save")
+        os.makedirs(save_dir)
+        run_training(
+            system, state, max_steps=2, val_interval=0,
+            save_dir=save_dir, guidance_eval_interval=2,
+            log_fn=lambda *_: None,
+        )
+        assert any(
+            f.startswith("it2-guidance") for f in os.listdir(save_dir)
+        )
