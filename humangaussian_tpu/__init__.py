@@ -13,3 +13,15 @@ built TPU-first:
 """
 
 __version__ = "0.1.0"
+
+# subsystem re-exports (lazy-import-friendly: core pieces only)
+from humangaussian_tpu.core.scene import GaussianScene, empty_scene, scene_from_points
+from humangaussian_tpu.render import render
+from humangaussian_tpu.densify import (
+    densify_and_prune,
+    prune_only,
+    update_stats,
+    init_densify_state,
+)
+from humangaussian_tpu.io.ply import save_ply, load_ply
+from humangaussian_tpu.registry import register, find

@@ -83,12 +83,25 @@ def build_system(cfg: dict):
     embeddings = prompt_proc()
 
     # --- guidance ---
+    from humangaussian_tpu.guidance.unet import TINY_TEST_CONFIG
+    from humangaussian_tpu.guidance.vae import tiny_vae_config
+
     g_raw = dict(sys_cfg.get("guidance", {}))
+    arch = g_raw.get("arch", "sd2-base")  # "tiny" for smoke tests
+    if arch == "tiny":
+        unet_cfg, vae_cfg = TINY_TEST_CONFIG, tiny_vae_config()
+        g_raw.setdefault("latent_size", 8)
+        g_raw.setdefault("image_size", 16)
+    else:
+        unet_cfg, vae_cfg = SD2_BASE_CONFIG, VAEConfig()
     guid_cfg = take(GuidanceConfig, g_raw)
-    unet = DualBranchUNet(SD2_BASE_CONFIG)
-    vae = AutoencoderKL(VAEConfig())
+    unet = DualBranchUNet(unet_cfg)
+    vae = AutoencoderKL(vae_cfg)
+    n_levels = len(unet_cfg.block_out_channels)
     unet_sd = load_torch_state_dict(_find_weights(g_raw["model_key"], "unet_ema"))
-    unet_params, unmatched = convert_unet_state_dict(unet_sd)
+    unet_params, unmatched = convert_unet_state_dict(
+        unet_sd, num_levels=n_levels, copy_last_n=unet_cfg.copy_last_n_block
+    )
     if unmatched:
         print(f"warning: {len(unmatched)} unmatched unet keys, e.g. {unmatched[:3]}")
     vae_sd = load_torch_state_dict(_find_weights(g_raw["vae_key"], ""))

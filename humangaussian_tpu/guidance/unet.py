@@ -54,6 +54,7 @@ class UNetConfig:
     copy_last_n_block: int = 1
     fusion: str = "avg"
     use_linear_projection: bool = True
+    flash_attention: bool = False  # Pallas flash kernel for self-attention
     dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -61,7 +62,7 @@ class UNetConfig:
         return self.block_out_channels[0] * 4
 
 
-SD2_BASE_CONFIG = UNetConfig()
+SD2_BASE_CONFIG = UNetConfig(flash_attention=True)
 
 TINY_TEST_CONFIG = UNetConfig(
     block_out_channels=(32, 64),
@@ -127,6 +128,7 @@ class Attention(nn.Module):
     dim_head_total: int  # query dim (= channels)
     context_dim: int | None
     dtype: jnp.dtype
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -142,11 +144,26 @@ class Attention(nn.Module):
         q = q.reshape(b, n, h, d)
         k = k.reshape(b, m, h, d)
         v = v.reshape(b, m, h, d)
-        logits = jnp.einsum(
-            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
-        ) / math.sqrt(d)
-        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, inner)
+        if self.use_flash and context is None and n % 128 == 0:
+            # Pallas flash attention: the naive path materializes
+            # [b,h,4096,4096] logits for the level-0 self-attention —
+            # gigabytes of HBM traffic per UNet call
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention,
+            )
+
+            out = flash_attention(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                sm_scale=1.0 / math.sqrt(d),
+            ).transpose(0, 2, 1, 3).reshape(b, n, inner).astype(self.dtype)
+        else:
+            logits = jnp.einsum(
+                "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+            ) / math.sqrt(d)
+            attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, inner)
         return nn.Dense(inner, dtype=self.dtype, name="to_out")(out)
 
 
@@ -166,12 +183,15 @@ class BasicTransformerBlock(nn.Module):
     heads: int
     context_dim: int
     dtype: jnp.dtype
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, context):
         dim = x.shape[-1]
         h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
-        x = x + Attention(self.heads, dim, None, self.dtype, name="attn1")(h)
+        x = x + Attention(
+            self.heads, dim, None, self.dtype, self.use_flash, name="attn1"
+        )(h)
         h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         x = x + Attention(self.heads, dim, self.context_dim, self.dtype, name="attn2")(
             h, context
@@ -186,6 +206,7 @@ class Transformer2D(nn.Module):
     groups: int
     use_linear_projection: bool
     dtype: jnp.dtype
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, context):
@@ -200,7 +221,8 @@ class Transformer2D(nn.Module):
                 h.reshape(b, hh, ww, c)
             ).reshape(b, hh * ww, c)
         h = BasicTransformerBlock(
-            self.heads, self.context_dim, self.dtype, name="block_0"
+            self.heads, self.context_dim, self.dtype, self.use_flash,
+            name="block_0",
         )(h, context)
         if self.use_linear_projection:
             h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
@@ -231,7 +253,8 @@ class DownBlock(nn.Module):
             if self.has_attn:
                 x = Transformer2D(
                     self.heads, c.cross_attention_dim, c.norm_num_groups,
-                    c.use_linear_projection, c.dtype, name=f"attn_{i}",
+                    c.use_linear_projection, c.dtype, c.flash_attention,
+                    name=f"attn_{i}",
                 )(x, context)
             res_out.append(x)
         if self.add_downsample:
@@ -263,7 +286,8 @@ class UpBlock(nn.Module):
             if self.has_attn:
                 x = Transformer2D(
                     self.heads, c.cross_attention_dim, c.norm_num_groups,
-                    c.use_linear_projection, c.dtype, name=f"attn_{i}",
+                    c.use_linear_projection, c.dtype, c.flash_attention,
+                    name=f"attn_{i}",
                 )(x, context)
         if self.add_upsample:
             b, hh, ww, ch = x.shape
@@ -285,7 +309,8 @@ class MidBlock(nn.Module):
         x = ResnetBlock2D(ch, c.norm_num_groups, c.dtype, name="resnet_0")(x, temb)
         x = Transformer2D(
             heads, c.cross_attention_dim, c.norm_num_groups,
-            c.use_linear_projection, c.dtype, name="attn_0",
+            c.use_linear_projection, c.dtype, c.flash_attention,
+            name="attn_0",
         )(x, context)
         return ResnetBlock2D(ch, c.norm_num_groups, c.dtype, name="resnet_1")(x, temb)
 
