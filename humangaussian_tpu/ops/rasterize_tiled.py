@@ -77,7 +77,9 @@ class CompositeStatics(NamedTuple):
 
 
 def _pixel_coords(t, s: CompositeStatics):
-    """Per-tile pixel centers as [PIX,1] f32 columns (pix = py*tile+px)."""
+    """Per-tile pixel centers as [PIX,1] f32 columns (pix = py*tile+px).
+    `t` is the GLOBAL tile id (grid id + shard offset when the tile axis
+    is sharded across chips)."""
     ty = t // s.tiles_x
     tx = t % s.tiles_x
     lin = jax.lax.broadcasted_iota(jnp.int32, (s.pix, 1), 0)
@@ -166,14 +168,14 @@ def _feat_matrix(f, s: CompositeStatics):
 
 
 def _fwd_kernel(
-    counts_ref, feats_ref, out_ref, logt_ref, done_ref, acc_ref,
+    counts_ref, offset_ref, feats_ref, out_ref, logt_ref, done_ref, acc_ref,
     *, s: CompositeStatics,
 ):
     """Per-pixel loop state (log T, stop latch, accumulators) lives in
     VMEM scratch, not loop carries — carrying ~130 vector registers
     through an scf loop trips Mosaic layout bugs and costs moves."""
-    t = pl.program_id(0)
-    count = counts_ref[t]
+    t = pl.program_id(0) + offset_ref[0]
+    count = counts_ref[pl.program_id(0)]
     px, py = _pixel_coords(t, s)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, s.chunk), 1)
 
@@ -207,11 +209,11 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    counts_ref, feats_ref, gvec_ref, dfeats_ref, logt_ref, done_ref,
-    prefix_ref, *, s: CompositeStatics,
+    counts_ref, offset_ref, feats_ref, gvec_ref, dfeats_ref, logt_ref,
+    done_ref, prefix_ref, *, s: CompositeStatics,
 ):
-    t = pl.program_id(0)
-    count = counts_ref[t]
+    t = pl.program_id(0) + offset_ref[0]
+    count = counts_ref[pl.program_id(0)]
     px, py = _pixel_coords(t, s)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, s.chunk), 1)
     g8 = gvec_ref[0]  # (PIX, 8): 0-4 output cotangents, 5 = S
@@ -291,10 +293,10 @@ def _bwd_kernel(
     jax.lax.fori_loop(0, s.n_chunks, zero_body, 0)
 
 
-def _fwd_call(feats, counts, s: CompositeStatics):
+def _fwd_call(feats, counts, offset, s: CompositeStatics):
     num_tiles = counts.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # counts -> SMEM, whole array per step
+        num_scalar_prefetch=2,  # counts + global tile offset -> SMEM
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(
@@ -317,13 +319,13 @@ def _fwd_call(feats, counts, s: CompositeStatics):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, s.pix, 8), jnp.float32),
         interpret=s.interpret,
-    )(counts, feats)
+    )(counts, offset, feats)
 
 
-def _bwd_call(feats, counts, gvec, s: CompositeStatics):
+def _bwd_call(feats, counts, offset, gvec, s: CompositeStatics):
     num_tiles = counts.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(
@@ -351,22 +353,24 @@ def _bwd_call(feats, counts, gvec, s: CompositeStatics):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(feats.shape, jnp.float32),
         interpret=s.interpret,
-    )(counts, feats, gvec)
+    )(counts, offset, feats, gvec)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def composite_tiles(feats, counts, s: CompositeStatics):
-    """[T, Kc, NF, G] pair features + [T] counts -> [T, PIX, 8] accumulators."""
-    return _fwd_call(feats, counts, s)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def composite_tiles(feats, counts, offset, s: CompositeStatics):
+    """[T, Kc, NF, G] pair features + [T] counts -> [T, PIX, 8]
+    accumulators. `offset` ([1] int32) is the global id of tile row 0 —
+    nonzero when the tile axis is sharded across chips."""
+    return _fwd_call(feats, counts, offset, s)
 
 
-def _composite_fwd(feats, counts, s):
-    out = _fwd_call(feats, counts, s)
-    return out, (feats, counts, out)
+def _composite_fwd(feats, counts, offset, s):
+    out = _fwd_call(feats, counts, offset, s)
+    return out, (feats, counts, offset, out)
 
 
 def _composite_bwd(s, res, g_out):
-    feats, counts, out = res
+    feats, counts, offset, out = res
     # S = sum_j w_j phi_j + g_logT, phi from the 5 live output channels
     phi_tot = jnp.sum(out[..., 0:5] * g_out[..., 0:5], axis=-1, keepdims=True)
     svec = phi_tot + g_out[..., 5:6]
@@ -374,8 +378,8 @@ def _composite_bwd(s, res, g_out):
         [g_out[..., 0:5], svec, jnp.zeros_like(svec), jnp.zeros_like(svec)],
         axis=-1,
     )
-    dfeats = _bwd_call(feats, counts, gvec, s)
-    return dfeats, None
+    dfeats = _bwd_call(feats, counts, offset, gvec, s)
+    return dfeats, None, None
 
 
 composite_tiles.defvjp(_composite_fwd, _composite_bwd)
@@ -396,11 +400,18 @@ def rasterize_tiled(
     means2d_offset: jnp.ndarray | None = None,
     tile_capacity: int = 4096,
     interpret: bool | None = None,
+    tile_shard=None,  # (Mesh, axis_name): shard the tile grid across chips
 ):
     """Tiled Pallas render. Same contract as rasterize_reference (and the
     reference render(): gaussian_renderer/__init__.py:98-104): dict with
     image [H,W,3], depth [H,W], alpha [H,W], radii [N] int32, visible [N],
-    plus pair-buffer `overflow` diagnostics."""
+    plus pair-buffer `overflow` diagnostics.
+
+    `tile_shard=(mesh, axis)` runs the compositing grid sequence-parallel
+    over the pixel-tile axis (SURVEY.md §5.7: "sequence parallelism over
+    rays"): projection/binning are replicated (cheap), each chip
+    composites its contiguous tile range with the correct global offset,
+    and the image shards concatenate along the tile axis."""
     h, w = camera.height, camera.width
     tile = cfg.tile
     if h % tile or w % tile:
@@ -469,7 +480,32 @@ def rasterize_tiled(
         log_eps=math.log(cfg.transmittance_eps),
         interpret=bool(interpret),
     )
-    acc = composite_tiles(feats, pairs.counts, s)  # [T, PIX, 8]
+    if tile_shard is not None:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as _P
+
+        mesh, axis = tile_shard
+        n_shards = mesh.shape[axis]
+        if num_tiles % n_shards:
+            raise ValueError(f"{num_tiles} tiles not divisible by {n_shards}")
+
+        def comp(feats_l, counts_l):
+            off = (
+                jax.lax.axis_index(axis).astype(jnp.int32)
+                * (num_tiles // n_shards)
+            ).reshape(1)
+            return composite_tiles(feats_l, counts_l, off, s)
+
+        acc = shard_map(
+            comp, mesh=mesh,
+            in_specs=(_P(axis), _P(axis)),
+            out_specs=_P(axis),
+            check_rep=False,
+        )(feats, pairs.counts)
+    else:
+        acc = composite_tiles(
+            feats, pairs.counts, jnp.zeros((1,), jnp.int32), s
+        )  # [T, PIX, 8]
 
     acc_img = acc.reshape(tiles_y, tiles_x, tile, tile, 8)
     acc_img = acc_img.transpose(0, 2, 1, 3, 4).reshape(h, w, 8)
