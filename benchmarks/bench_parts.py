@@ -52,3 +52,65 @@ def vae_enc_bwd(p, img):
         return jnp.sum(m ** 2)
     return jax.grad(f)(img)
 timeit("vae encode fwd+bwd 8x512^2", vae_enc_bwd, vp, img8)
+
+# ---- step bisection: render-only vs guidance-only --------------------
+from humangaussian_tpu.testing import tiny_system  # noqa: E402
+from humangaussian_tpu.data.cameras import RandomCameraConfig  # noqa: E402
+from humangaussian_tpu.guidance.dual_branch import DualBranchGuidance, GuidanceConfig  # noqa: E402
+from humangaussian_tpu.guidance.schedule import DiffusionSchedule  # noqa: E402
+from humangaussian_tpu.ops.projection import RasterizeConfig  # noqa: E402
+from humangaussian_tpu.smplx.model import toy_model  # noqa: E402
+from humangaussian_tpu.smplx.skeleton import Skeleton  # noqa: E402
+from humangaussian_tpu.train.system import GaussianDreamerConfig, GaussianDreamerSystem  # noqa: E402
+from humangaussian_tpu.guidance.prompt import PromptEmbeddings  # noqa: E402
+
+guidance = DualBranchGuidance(
+    unet=unet, unet_params=up, vae=vae, vae_params=vp,
+    schedule=DiffusionSchedule.create(),
+    cfg=GuidanceConfig(latent_size=64, image_size=512),
+)
+emb = PromptEmbeddings(
+    text_vd=jax.random.normal(rng, (4, 77, 1024)),
+    uncond_vd=jax.random.normal(rng, (4, 77, 1024)),
+    text=jnp.zeros((77, 1024)), uncond=jnp.zeros((77, 1024)),
+    null=jnp.zeros((77, 1024)),
+)
+skel = Skeleton(style="humansd", apose=True).load_smplx(toy_model()).scale(-10)
+system = GaussianDreamerSystem(
+    GaussianDreamerConfig(capacity=1 << 17, pts_num=65536),
+    skel, guidance, emb,
+    camera_cfg=RandomCameraConfig(batch_size=8, height=1024, width=1024),
+    raster_cfg=RasterizeConfig(tile=32, max_tiles_per_gaussian=16),
+)
+state = system.init_state(rng)
+
+# full guidance __call__ fwd+bwd on synthetic renders (isolates guidance)
+@jax.jit
+def guidance_only(g, imgs):
+    def loss(im):
+        out = g(imgs, im, imgs, jax.random.normal(rng, (24, 77, 1024)),
+                jnp.full((8,), 500, jnp.int32), rng)
+        return out["loss_sds"]
+    return jax.grad(loss)(imgs)
+
+imgs = jax.random.uniform(rng, (8, 1024, 1024, 3))
+timeit("guidance fwd+bwd (8x1024^2 in)", guidance_only, guidance, imgs)
+
+# render-only loss step (no guidance)
+@jax.jit
+def render_only(scene_params, state):
+    def loss(p):
+        scene = state.scene.replace_params(p)
+        out = system.render_batch(scene, _CAMS, 1024, 1024)
+        return jnp.sum(out["image"]) + jnp.sum(out["depth"]) * 1e-3
+    return jax.grad(loss)(scene_params)
+
+from humangaussian_tpu.data.cameras import sample_camera_batch
+_CAMS = sample_camera_batch(jax.random.PRNGKey(3), 0, system.camera_cfg)
+timeit("render_batch fwd+bwd (8 cams, remat)", render_only, state.scene.params(), state)
+
+# pose images
+@jax.jit
+def pose_only(cams):
+    return system.pose_images(cams)
+timeit("pose images (8x512^2)", pose_only, _CAMS)

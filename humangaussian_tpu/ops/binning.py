@@ -43,9 +43,12 @@ class PairLists(NamedTuple):
 
     order: jnp.ndarray  # [N] Gaussian index by depth rank
     sorted_rank: jnp.ndarray  # [P] depth rank of each sorted pair
+    sorted_key: jnp.ndarray  # [P] full packed keys (tile<<bits | rank)
+    cand_keys: jnp.ndarray  # [N, R] each rank's candidate packed keys
     starts: jnp.ndarray  # [T+1] segment starts into the sorted pairs
     counts: jnp.ndarray  # [T] live pairs per tile (capped at K)
     overflow: jnp.ndarray  # [] pairs dropped by the K cap
+    rank_bits: int  # static
 
 
 class TileBins(NamedTuple):
@@ -115,9 +118,12 @@ def build_pair_lists(
     return PairLists(
         order=order,
         sorted_rank=sorted_rank,
+        sorted_key=sorted_key,
+        cand_keys=keys.reshape(n, r),
         starts=starts,
         counts=counts,
         overflow=overflow,
+        rank_bits=rank_bits,
     )
 
 

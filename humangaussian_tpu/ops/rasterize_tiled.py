@@ -356,6 +356,84 @@ def _bwd_call(feats, counts, offset, gvec, s: CompositeStatics):
     )(counts, offset, feats, gvec)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def gather_pair_table(fmat, order, sorted_rank, sorted_key, cand_keys,
+                      starts, counts, tile_capacity: int):
+    """[N,16] features -> [T,K,16] depth-ordered pair table via wide-row
+    gathers, with a GATHER-ONLY custom VJP.
+
+    Autodiff of the forward gathers would lower to TPU scatter-adds over
+    millions of rows (hundreds of ms — the dominant cost of the render
+    backward). Both hops are analytically invertible without scatters:
+
+    - table slot (t, k) <- pair p = starts[t]+k is a bijection on live
+      slots, so the hop-2 transpose is the inverse gather
+      (t, k) = (searchsorted(starts, p) - 1, p - starts[t]);
+    - each Gaussian rank n occupies one sorted position per candidate
+      tile, found exactly by searchsorted(sorted_key, tile<<bits | n),
+      so the hop-1 transpose is a per-candidate gather + sum over the
+      <= rect_side^2 candidates;
+    - the depth reordering fmat[order] is a permutation, inverted with
+      one argsort.
+    """
+    fmat_sorted = fmat[order]
+    p = sorted_rank.shape[0]
+    pair_feats = jnp.concatenate(
+        [fmat_sorted[sorted_rank], jnp.zeros((1, fmat.shape[1]), fmat.dtype)]
+    )
+    k_idx = jnp.arange(tile_capacity, dtype=jnp.int32)
+    flat = starts[:-1, None] + k_idx[None, :]
+    flat = jnp.where(k_idx[None, :] < counts[:, None], flat, p)
+    return pair_feats[flat]  # [T, K, 16]
+
+
+def _gather_fwd(fmat, order, sorted_rank, sorted_key, cand_keys, starts,
+                counts, tile_capacity):
+    out = gather_pair_table(
+        fmat, order, sorted_rank, sorted_key, cand_keys, starts, counts,
+        tile_capacity,
+    )
+    return out, (order, sorted_key, cand_keys, starts, counts, fmat.shape)
+
+
+def _gather_bwd(tile_capacity, res, g):
+    order, sorted_key, cand_keys, starts, counts, fmat_shape = res
+    p = sorted_key.shape[0]
+    num_tiles = counts.shape[0]
+
+    # hop-2 inverse: pair p -> its (tile, k) slot (or nothing)
+    p_idx = jnp.arange(p, dtype=jnp.int32)
+    t_of = (
+        jnp.searchsorted(starts, p_idx, side="right").astype(jnp.int32) - 1
+    )
+    t_safe = jnp.clip(t_of, 0, num_tiles - 1)
+    k_of = p_idx - starts[t_safe]
+    valid_p = (t_of < num_tiles) & (k_of < counts[t_safe])
+    dpair = jnp.where(
+        valid_p[:, None],
+        g[t_safe, jnp.clip(k_of, 0, tile_capacity - 1)],
+        0.0,
+    )  # [P, 16]
+
+    # hop-1 inverse: rank n's candidates -> sorted positions
+    pos = jnp.searchsorted(sorted_key, cand_keys).astype(jnp.int32)  # [N,R]
+    pos_safe = jnp.clip(pos, 0, p - 1)
+    hit = (pos < p) & (sorted_key[pos_safe] == cand_keys)
+    contrib = jnp.where(hit[..., None], dpair[pos_safe], 0.0)  # [N,R,16]
+    dfmat_sorted = jnp.sum(contrib, axis=1)  # [N,16]
+
+    # permutation inverse via argsort (no scatter)
+    n = order.shape[0]
+    _, inv_order = jax.lax.sort(
+        (order, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+    )
+    dfmat = dfmat_sorted[inv_order]
+    return (dfmat, None, None, None, None, None, None)
+
+
+gather_pair_table.defvjp(_gather_fwd, _gather_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def composite_tiles(feats, counts, offset, s: CompositeStatics):
     """[T, Kc, NF, G] pair features + [T] counts -> [T, PIX, 8]
@@ -453,17 +531,12 @@ def rasterize_tiled(
         + [jnp.zeros((n,), jnp.float32)] * (_NF - 10),
         axis=1,
     )  # [N, 16]
-    fmat_sorted = fmat[pairs.order]  # depth-ordered rows
-    pair_feats = fmat_sorted[pairs.sorted_rank]  # [P, 16]
-    pair_feats = jnp.concatenate(
-        [pair_feats, jnp.zeros((1, _NF), jnp.float32)], axis=0
-    )
-    k_idx = jnp.arange(tile_capacity, dtype=jnp.int32)
-    flat = pairs.starts[:-1, None] + k_idx[None, :]  # [T, K]
-    flat = jnp.where(k_idx[None, :] < pairs.counts[:, None], flat, p)
     n_chunks = tile_capacity // chunk
     feats = (
-        pair_feats[flat]
+        gather_pair_table(
+            fmat, pairs.order, pairs.sorted_rank, pairs.sorted_key,
+            pairs.cand_keys, pairs.starts, pairs.counts, tile_capacity,
+        )
         .reshape(num_tiles, n_chunks, chunk, _NF)
         .transpose(0, 1, 3, 2)
     )  # [T, Kc, NF, G]
