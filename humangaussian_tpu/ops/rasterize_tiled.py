@@ -356,25 +356,26 @@ def _bwd_call(feats, counts, offset, gvec, s: CompositeStatics):
     )(counts, offset, feats, gvec)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def gather_pair_table(fmat, order, sorted_rank, sorted_key, cand_keys,
-                      starts, counts, tile_capacity: int):
+                      starts, counts, tile_capacity: int, rank_bits: int):
     """[N,16] features -> [T,K,16] depth-ordered pair table via wide-row
-    gathers, with a GATHER-ONLY custom VJP.
+    gathers, with a GATHER+SORT-ONLY custom VJP.
 
     Autodiff of the forward gathers would lower to TPU scatter-adds over
     millions of rows (hundreds of ms — the dominant cost of the render
-    backward). Both hops are analytically invertible without scatters:
+    backward). The transpose is computed without scatters OR searches:
 
     - table slot (t, k) <- pair p = starts[t]+k is a bijection on live
-      slots, so the hop-2 transpose is the inverse gather
-      (t, k) = (searchsorted(starts, p) - 1, p - starts[t]);
-    - each Gaussian rank n occupies one sorted position per candidate
-      tile, found exactly by searchsorted(sorted_key, tile<<bits | n),
-      so the hop-1 transpose is a per-candidate gather + sum over the
-      <= rect_side^2 candidates;
+      slots, and each sorted pair's tile is its key's high bits, so the
+      hop-2 transpose is the inverse gather (t, k) = (key>>bits,
+      p - starts[t]);
+    - the pair sort's inverse permutation is rebuilt with two payload
+      sorts (sort-of-sort trick), turning the hop-1 transpose into one
+      wide gather + a sum over each rank's <= rect_side^2 candidate
+      slots (which are contiguous in unsorted pair order);
     - the depth reordering fmat[order] is a permutation, inverted with
-      one argsort.
+      one more payload sort.
     """
     fmat_sorted = fmat[order]
     p = sorted_rank.shape[0]
@@ -388,24 +389,23 @@ def gather_pair_table(fmat, order, sorted_rank, sorted_key, cand_keys,
 
 
 def _gather_fwd(fmat, order, sorted_rank, sorted_key, cand_keys, starts,
-                counts, tile_capacity):
+                counts, tile_capacity, rank_bits):
     out = gather_pair_table(
         fmat, order, sorted_rank, sorted_key, cand_keys, starts, counts,
-        tile_capacity,
+        tile_capacity, rank_bits,
     )
-    return out, (order, sorted_key, cand_keys, starts, counts, fmat.shape)
+    return out, (order, sorted_key, cand_keys, starts, counts)
 
 
-def _gather_bwd(tile_capacity, res, g):
-    order, sorted_key, cand_keys, starts, counts, fmat_shape = res
+def _gather_bwd(tile_capacity, rank_bits, res, g):
+    order, sorted_key, cand_keys, starts, counts = res
     p = sorted_key.shape[0]
     num_tiles = counts.shape[0]
-
-    # hop-2 inverse: pair p -> its (tile, k) slot (or nothing)
     p_idx = jnp.arange(p, dtype=jnp.int32)
-    t_of = (
-        jnp.searchsorted(starts, p_idx, side="right").astype(jnp.int32) - 1
-    )
+
+    # hop-2 inverse: sorted pair p sits at slot (t = key>>bits,
+    # k = p - starts[t]); dropped/sentinel pairs get zero
+    t_of = (sorted_key >> rank_bits).astype(jnp.int32)
     t_safe = jnp.clip(t_of, 0, num_tiles - 1)
     k_of = p_idx - starts[t_safe]
     valid_p = (t_of < num_tiles) & (k_of < counts[t_safe])
@@ -413,16 +413,20 @@ def _gather_bwd(tile_capacity, res, g):
         valid_p[:, None],
         g[t_safe, jnp.clip(k_of, 0, tile_capacity - 1)],
         0.0,
-    )  # [P, 16]
+    )  # [P, 16] in SORTED pair order
 
-    # hop-1 inverse: rank n's candidates -> sorted positions
-    pos = jnp.searchsorted(sorted_key, cand_keys).astype(jnp.int32)  # [N,R]
-    pos_safe = jnp.clip(pos, 0, p - 1)
-    hit = (pos < p) & (sorted_key[pos_safe] == cand_keys)
-    contrib = jnp.where(hit[..., None], dpair[pos_safe], 0.0)  # [N,R,16]
-    dfmat_sorted = jnp.sum(contrib, axis=1)  # [N,16]
+    # sort-of-sort: rebuild the pair sort's inverse permutation, then
+    # un-sort dpair so each rank's candidates are contiguous
+    keys_flat = cand_keys.reshape(p)
+    _, perm = jax.lax.sort((keys_flat, p_idx), num_keys=1)  # sorted->orig
+    _, inv = jax.lax.sort((perm, p_idx), num_keys=1)  # orig->sorted
+    dpair_unsorted = dpair[inv]  # [P, 16]
+    r = cand_keys.shape[1]
+    dfmat_sorted = jnp.sum(
+        dpair_unsorted.reshape(-1, r, dpair.shape[1]), axis=1
+    )  # [N, 16]
 
-    # permutation inverse via argsort (no scatter)
+    # depth-permutation inverse (one more payload sort)
     n = order.shape[0]
     _, inv_order = jax.lax.sort(
         (order, jnp.arange(n, dtype=jnp.int32)), num_keys=1
@@ -536,6 +540,7 @@ def rasterize_tiled(
         gather_pair_table(
             fmat, pairs.order, pairs.sorted_rank, pairs.sorted_key,
             pairs.cand_keys, pairs.starts, pairs.counts, tile_capacity,
+            pairs.rank_bits,
         )
         .reshape(num_tiles, n_chunks, chunk, _NF)
         .transpose(0, 1, 3, 2)

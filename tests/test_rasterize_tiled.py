@@ -171,3 +171,30 @@ class TestBatched:
         for i, cam in enumerate(cams):
             single = render_one(cam)
             np.testing.assert_allclose(batched[i], single, atol=1e-6)
+
+
+class TestGatherVJPEdgeCases:
+    def test_grads_finite_under_overflow(self):
+        # dropped pairs (capacity overflow) must contribute zero gradient
+        params = make_scene(n=300, n_dead=0, seed=7)
+        cam = make_camera()
+
+        def loss(means):
+            out = run(rasterize_tiled, (means,) + params[1:], cam, BG,
+                      tile_capacity=128)
+            return jnp.sum(out["image"])
+
+        g = jax.grad(loss)(params[0])
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_empty_tiles_and_empty_scene_grads(self):
+        params = make_scene(n=64, n_dead=64)
+        cam = make_camera()
+
+        def loss(means):
+            out = run(rasterize_tiled, (means,) + params[1:], cam, BG,
+                      tile_capacity=128)
+            return jnp.sum(out["image"]) + jnp.sum(out["alpha"])
+
+        g = jax.grad(loss)(params[0])
+        np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-8)
