@@ -26,6 +26,8 @@ def main():
     parser.add_argument("--iters", type=int, default=5)
     parser.add_argument("--capacity", type=int, default=1 << 17)
     parser.add_argument("--tiny-unet", action="store_true")
+    parser.add_argument("--no-remat", action="store_true")
+    parser.add_argument("--tile-capacity", type=int, default=4096)
     args = parser.parse_args()
 
     import jax
@@ -90,7 +92,10 @@ def main():
     skel = Skeleton(style="humansd", apose=True).load_smplx(toy_model()).scale(-10)
     system = GaussianDreamerSystem(
         GaussianDreamerConfig(
-            capacity=args.capacity, pts_num=min(100_000, args.capacity // 2)
+            capacity=args.capacity,
+            pts_num=min(100_000, args.capacity // 2),
+            remat_render=not args.no_remat,
+            tile_capacity=args.tile_capacity,
         ),
         skel, guidance, emb,
         camera_cfg=RandomCameraConfig(

@@ -105,6 +105,7 @@ class GaussianDreamerConfig:
     pose_image_size: int = 512
     max_steps: int = 3600
     tile_capacity: int = 4096
+    remat_render: bool = True  # trade a fwd replay for ~2GB of residuals
 
 
 class TrainState(NamedTuple):
@@ -175,11 +176,6 @@ class GaussianDreamerSystem:
         if means2d_offset is None:
             means2d_offset = jnp.zeros((scene.capacity, 2), jnp.float32)
 
-        # remat: without it the vmapped backward keeps every camera's
-        # binned pair tensor (~270MB each) live simultaneously — at batch
-        # 8 x 1024^2 that alone is ~2GB of HBM residuals. Recomputing the
-        # projection/binning in the backward costs a few ms per camera.
-        @jax.checkpoint
         def render_one(c2w, fovy):
             cam = camera_from_c2w(c2w, fovy, height, width)
             return rasterize_tiled(
@@ -189,6 +185,11 @@ class GaussianDreamerSystem:
                 tile_capacity=self.cfg.tile_capacity,
             )
 
+        if self.cfg.remat_render:
+            # keeps the batched backward within HBM: without remat the
+            # backward holds every camera's binned pair tensor
+            # (~tile_capacity * tiles * 64B each) live simultaneously
+            render_one = jax.checkpoint(render_one)
         return jax.vmap(render_one)(cameras.c2w, cameras.fovy)
 
     def pose_images(self, cameras: CameraBatch):
