@@ -55,34 +55,34 @@ def _lookup(cfg: dict, path: str):
     return node
 
 
-def resolve_interpolations(cfg: dict) -> dict:
-    """Resolve ${a.b} references and ${rmspace:${...},_} style resolvers."""
+_INNER = re.compile(r"\$\{([^${}]+)\}")  # innermost (no nested braces)
 
-    def resolve(value, depth=0):
-        if depth > 10:
-            raise ValueError("interpolation recursion limit")
+
+def resolve_interpolations(cfg: dict) -> dict:
+    """Resolve ${a.b} references and ${rmspace:...,_} style resolvers,
+    including NESTED forms like ${rmspace:${system.prompt},_} —
+    innermost expressions resolve first."""
+
+    def resolve(value):
         if isinstance(value, dict):
-            return {k: resolve(v, depth) for k, v in value.items()}
+            return {k: resolve(v) for k, v in value.items()}
         if isinstance(value, list):
-            return [resolve(v, depth) for v in value]
+            return [resolve(v) for v in value]
         if not isinstance(value, str):
             return value
-
-        def repl(m):
+        for _ in range(20):
+            m = _INNER.search(value)
+            if m is None:
+                return value
             expr = m.group(1)
             if expr.startswith("rmspace:"):
                 body = expr[len("rmspace:"):]
                 text, sep = body.rsplit(",", 1)
-                text = resolve(text, depth + 1)
-                text = _INTERP.sub(
-                    lambda mm: str(resolve(_lookup(cfg, mm.group(1)), depth + 1)),
-                    text,
-                )
-                return re.sub(r"\s+", sep, text.strip())
-            return str(resolve(_lookup(cfg, expr), depth + 1))
-
-        out = _INTERP.sub(repl, value)
-        return out
+                out = re.sub(r"\s+", sep, text.strip())
+            else:
+                out = str(resolve(_lookup(cfg, expr)))
+            value = value[: m.start()] + out + value[m.end() :]
+        raise ValueError(f"interpolation recursion limit in {value!r}")
 
     return resolve(cfg)
 
