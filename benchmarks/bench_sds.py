@@ -27,6 +27,7 @@ def main():
     parser.add_argument("--capacity", type=int, default=1 << 17)
     parser.add_argument("--tiny-unet", action="store_true")
     parser.add_argument("--no-remat", action="store_true")
+    parser.add_argument("--bf16-params", action="store_true")
     parser.add_argument("--tile-capacity", type=int, default=4096)
     args = parser.parse_args()
 
@@ -76,6 +77,11 @@ def main():
     print(f"unet params: {n_params/1e6:.1f}M (init {time.time()-t0:.1f}s)", flush=True)
     vae = AutoencoderKL(vcfg)
     vparams = jax.jit(vae.init)(rng, jnp.zeros((1, img, img, 3)), rng)
+    if args.bf16_params:
+        cast = lambda t: jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, t)
+        uparams, vparams = cast(uparams), cast(vparams)
 
     guidance = DualBranchGuidance(
         unet=unet, unet_params=uparams, vae=vae, vae_params=vparams,

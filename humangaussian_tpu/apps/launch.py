@@ -108,6 +108,20 @@ def build_system(cfg: dict):
     vae_params, unmatched_v = convert_vae_state_dict(vae_sd)
     if unmatched_v:
         print(f"warning: {len(unmatched_v)} unmatched vae keys")
+    if g_raw.get("half_precision_weights", True):
+        # reference loads the prior fp16 (dual_branch_guidance.py:88-91);
+        # bf16 storage halves HBM + weight bandwidth on TPU
+        import jax.numpy as jnp
+
+        def cast(tree):
+            return jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if getattr(x, "dtype", None) == jnp.float32
+                else x,
+                tree,
+            )
+
+        unet_params, vae_params = cast(unet_params), cast(vae_params)
     guidance = DualBranchGuidance(
         unet=unet,
         unet_params=unet_params,
