@@ -92,8 +92,12 @@ def build_system(cfg: dict):
         unet_cfg, vae_cfg = TINY_TEST_CONFIG, tiny_vae_config()
         g_raw.setdefault("latent_size", 8)
         g_raw.setdefault("image_size", 16)
-    else:
+    elif arch == "sd2-base":
         unet_cfg, vae_cfg = SD2_BASE_CONFIG, VAEConfig()
+    else:
+        raise ValueError(
+            f"unknown system.guidance.arch {arch!r}; expected 'sd2-base' or 'tiny'"
+        )
     guid_cfg = take(GuidanceConfig, g_raw)
     unet = DualBranchUNet(unet_cfg)
     vae = AutoencoderKL(vae_cfg)
