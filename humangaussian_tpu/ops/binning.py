@@ -77,8 +77,13 @@ def build_pair_lists(
     tiles_y: int,
     capacity: int,
     cfg: RasterizeConfig,
+    pair_capacity: int | None = None,
 ) -> PairLists:
-    """Packed-key pair sort (see module docstring)."""
+    """Packed-key pair sort (see module docstring).
+
+    `pair_capacity` additionally caps the TOTAL live pairs (the size of
+    the compacted pair-feature array the consumer gathers); segments
+    past the budget are truncated and reported in `overflow`."""
     n = prims.depths.shape[0]
     num_tiles = tiles_x * tiles_y
     side = cfg.rect_side
@@ -113,7 +118,10 @@ def build_pair_lists(
     ).astype(jnp.int32)
     seg_len = starts[1:] - starts[:-1]
     counts = jnp.minimum(seg_len, capacity)
-    overflow = jnp.sum(jnp.maximum(seg_len - capacity, 0))
+    if pair_capacity is not None:
+        budget = pair_capacity - jnp.minimum(starts[:-1], pair_capacity)
+        counts = jnp.minimum(counts, budget)
+    overflow = jnp.sum(seg_len - counts)
     sorted_rank = sorted_key & ((1 << rank_bits) - 1)
     return PairLists(
         order=order,

@@ -18,13 +18,26 @@ Semantics are those of the CUDA reference preprocess
   gradient, as the CUDA backward does);
 - Gaussians whose tile rectangle is empty are invisible (radius 0).
 
-One deliberate, documented deviation: screen radius is clamped to
-`cfg.max_radius_px` so that the tile rectangle never exceeds a static
-`max_tiles_per_gaussian` — the price of recompile-free static shapes on
-TPU. The pure-JAX oracle applies the identical clamp, so the whole
-framework is self-consistent; at the reference's training scales
-(gaussians pruned above 20 px radius, gaussian_model.py:399-413) the
-clamp is inactive.
+Two deliberate, documented deviations:
+
+1. Screen extents are clamped to `cfg.max_radius_px` so that the tile
+   rectangle never exceeds a static `max_tiles_per_gaussian` — the price
+   of recompile-free static shapes on TPU. The pure-JAX oracle applies
+   the identical clamp, so the whole framework is self-consistent; at
+   the reference's training scales (gaussians pruned above 20 px radius,
+   gaussian_model.py:399-413) the clamp is inactive.
+2. The tile rect uses PER-AXIS 3-sigma extents (3*sqrt(cov_xx),
+   3*sqrt(cov_yy)) — the exact axis-aligned bounding box of the CUDA
+   kernel's own 3-sigma cutoff ellipse — instead of the CUDA rect's
+   isotropic radius 3*sqrt(lambda_max). For anisotropic splats this is
+   strictly tighter with the same contribution cutoff scale, and it
+   directly reduces (tile, Gaussian) pair count, the TPU cost driver.
+   The `radii` OUTPUT keeps CUDA semantics (3-sigma of the max
+   eigenvalue) since it drives densification pruning.
+
+Everything here is deliberately expressed as elementwise arithmetic on
+[N]-columns (no [N,2,3]x[N,3,3] batched matmuls): XLA fuses it into a
+few VPU passes, where tiny batched matmuls lower to slow layout shuffles.
 """
 from __future__ import annotations
 
@@ -35,7 +48,6 @@ import jax
 import jax.numpy as jnp
 
 from humangaussian_tpu.core.camera import Camera
-from humangaussian_tpu.core.scene import covariance_from_scaling_rotation
 from humangaussian_tpu.core.sh import eval_sh
 
 
@@ -118,8 +130,33 @@ def project_gaussians(
     depth = p_view[:, 2]
     in_front = depth > cfg.near
 
-    # --- 3D covariance -> EWA 2D covariance ---------------------------
-    cov3d = covariance_from_scaling_rotation(scales, quats, scale_modifier)
+    # --- 3D covariance -> EWA 2D covariance (fully elementwise) -------
+    # quat -> rotation entries as [N] columns (normalized, w-x-y-z like
+    # the reference's build_rotation, general_utils.py:78-98)
+    qn = quats / (jnp.linalg.norm(quats, axis=-1, keepdims=True) + 1e-12)
+    qw, qx, qy, qz = qn[:, 0], qn[:, 1], qn[:, 2], qn[:, 3]
+    r00 = 1 - 2 * (qy * qy + qz * qz)
+    r01 = 2 * (qx * qy - qw * qz)
+    r02 = 2 * (qx * qz + qw * qy)
+    r10 = 2 * (qx * qy + qw * qz)
+    r11 = 1 - 2 * (qx * qx + qz * qz)
+    r12 = 2 * (qy * qz - qw * qx)
+    r20 = 2 * (qx * qz - qw * qy)
+    r21 = 2 * (qy * qz + qw * qx)
+    r22 = 1 - 2 * (qx * qx + qy * qy)
+    s0 = scales[:, 0] * scale_modifier
+    s1 = scales[:, 1] * scale_modifier
+    s2 = scales[:, 2] * scale_modifier
+    # M = R diag(s); Sigma = M M^T, six unique entries
+    m00, m01, m02 = r00 * s0, r01 * s1, r02 * s2
+    m10, m11, m12 = r10 * s0, r11 * s1, r12 * s2
+    m20, m21, m22 = r20 * s0, r21 * s1, r22 * s2
+    sxx = m00 * m00 + m01 * m01 + m02 * m02
+    sxy = m00 * m10 + m01 * m11 + m02 * m12
+    sxz = m00 * m20 + m01 * m21 + m02 * m22
+    syy = m10 * m10 + m11 * m11 + m12 * m12
+    syz = m10 * m20 + m11 * m21 + m12 * m22
+    szz = m20 * m20 + m21 * m21 + m22 * m22
 
     limx = 1.3 * camera.tan_fovx
     limy = 1.3 * camera.tan_fovy
@@ -129,21 +166,29 @@ def project_gaussians(
 
     inv_z = 1.0 / z_safe
     inv_z2 = inv_z * inv_z
-    zeros = jnp.zeros_like(inv_z)
-    # J: d(pixel)/d(view) Jacobian rows (2x3), per Gaussian
-    j_mat = jnp.stack(
-        [
-            jnp.stack([focal_x * inv_z, zeros, -focal_x * txtz * inv_z2], axis=-1),
-            jnp.stack([zeros, focal_y * inv_z, -focal_y * tytz * inv_z2], axis=-1),
-        ],
-        axis=-2,
-    )  # [N,2,3]
-    w_rot = view[:3, :3].T  # world->cam rotation (un-transposed)
-    jw = j_mat @ w_rot  # [N,2,3]
-    cov2d = jw @ cov3d @ jnp.swapaxes(jw, -1, -2)  # [N,2,2]
-    cov_a = cov2d[:, 0, 0] + 0.3
-    cov_b = cov2d[:, 0, 1]
-    cov_c = cov2d[:, 1, 1] + 0.3
+    # JW rows (2x3 per Gaussian) as [N] columns: J = d(pixel)/d(view),
+    # W = world->cam rotation (view stored transposed, row-vector conv.)
+    w_rot = view[:3, :3].T
+    a0 = focal_x * inv_z
+    a2x = -focal_x * txtz * inv_z2
+    b1 = focal_y * inv_z
+    b2y = -focal_y * tytz * inv_z2
+    u0 = a0 * w_rot[0, 0] + a2x * w_rot[2, 0]
+    u1 = a0 * w_rot[0, 1] + a2x * w_rot[2, 1]
+    u2 = a0 * w_rot[0, 2] + a2x * w_rot[2, 2]
+    v0 = b1 * w_rot[1, 0] + b2y * w_rot[2, 0]
+    v1 = b1 * w_rot[1, 1] + b2y * w_rot[2, 1]
+    v2 = b1 * w_rot[1, 2] + b2y * w_rot[2, 2]
+    # Sigma @ u and Sigma @ v ([N,3] as columns)
+    su0 = sxx * u0 + sxy * u1 + sxz * u2
+    su1 = sxy * u0 + syy * u1 + syz * u2
+    su2 = sxz * u0 + syz * u1 + szz * u2
+    sv0 = sxx * v0 + sxy * v1 + sxz * v2
+    sv1 = sxy * v0 + syy * v1 + syz * v2
+    sv2 = sxz * v0 + syz * v1 + szz * v2
+    cov_a = u0 * su0 + u1 * su1 + u2 * su2 + 0.3
+    cov_b = v0 * su0 + v1 * su1 + v2 * su2
+    cov_c = v0 * sv0 + v1 * sv1 + v2 * sv2 + 0.3
 
     det = cov_a * cov_c - cov_b * cov_b
     det_ok = det > 0.0
@@ -168,17 +213,22 @@ def project_gaussians(
         mean2d = mean2d + means2d_offset
 
     # --- tile rectangle (stop-grad integers) ---------------------------
+    # per-axis 3-sigma extents: the exact AABB of the 3-sigma ellipse
+    # (see module docstring, deviation 2), clamped like the radius
+    ext_x = jnp.minimum(jnp.ceil(3.0 * jnp.sqrt(cov_a)), cfg.max_radius_px)
+    ext_y = jnp.minimum(jnp.ceil(3.0 * jnp.sqrt(cov_c)), cfg.max_radius_px)
     tiles_x = -(-w // cfg.tile)
     tiles_y = -(-h // cfg.tile)
-    r_i = jax.lax.stop_gradient(radius_f)
+    ex = jax.lax.stop_gradient(ext_x)
+    ey = jax.lax.stop_gradient(ext_y)
     mx = jax.lax.stop_gradient(mean2d)
-    x0 = jnp.clip(((mx[:, 0] - r_i) / cfg.tile).astype(jnp.int32), 0, tiles_x)
-    y0 = jnp.clip(((mx[:, 1] - r_i) / cfg.tile).astype(jnp.int32), 0, tiles_y)
+    x0 = jnp.clip(((mx[:, 0] - ex) / cfg.tile).astype(jnp.int32), 0, tiles_x)
+    y0 = jnp.clip(((mx[:, 1] - ey) / cfg.tile).astype(jnp.int32), 0, tiles_y)
     x1 = jnp.clip(
-        ((mx[:, 0] + r_i + cfg.tile - 1) / cfg.tile).astype(jnp.int32), 0, tiles_x
+        ((mx[:, 0] + ex + cfg.tile - 1) / cfg.tile).astype(jnp.int32), 0, tiles_x
     )
     y1 = jnp.clip(
-        ((mx[:, 1] + r_i + cfg.tile - 1) / cfg.tile).astype(jnp.int32), 0, tiles_y
+        ((mx[:, 1] + ey + cfg.tile - 1) / cfg.tile).astype(jnp.int32), 0, tiles_y
     )
     rect_nonempty = (x1 > x0) & (y1 > y0)
 

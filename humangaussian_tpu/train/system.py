@@ -54,7 +54,7 @@ from humangaussian_tpu.densify import (
 from humangaussian_tpu.guidance.dual_branch import sample_timesteps
 from humangaussian_tpu.ops.knn import mean_3nn_sq_dist_host
 from humangaussian_tpu.ops.projection import RasterizeConfig
-from humangaussian_tpu.ops.rasterize_tiled import rasterize_tiled
+from humangaussian_tpu.ops.rasterize_tiled import rasterize_tiled, rasterize_tiled_batch
 from humangaussian_tpu.smplx.pose_image import (
     draw_humansd_pose,
     draw_openpose_pose,
@@ -176,21 +176,25 @@ class GaussianDreamerSystem:
         if means2d_offset is None:
             means2d_offset = jnp.zeros((scene.capacity, 2), jnp.float32)
 
-        def render_one(c2w, fovy):
-            cam = camera_from_c2w(c2w, fovy, height, width)
-            return rasterize_tiled(
-                scene.means, scene.scales, scene.quats, scene.features,
-                scene.opacities, scene.alive, cam, bg, self.cfg.sh_degree,
-                self.raster_cfg, means2d_offset=means2d_offset,
+        def render_all(means, scales, quats, feats, opas, off):
+            cams = jax.vmap(
+                lambda c2w, fovy: camera_from_c2w(c2w, fovy, height, width)
+            )(cameras.c2w, cameras.fovy)
+            return rasterize_tiled_batch(
+                means, scales, quats, feats, opas, scene.alive, cams, bg,
+                self.cfg.sh_degree, self.raster_cfg, means2d_offset=off,
                 tile_capacity=self.cfg.tile_capacity,
             )
 
         if self.cfg.remat_render:
             # keeps the batched backward within HBM: without remat the
-            # backward holds every camera's binned pair tensor
-            # (~tile_capacity * tiles * 64B each) live simultaneously
-            render_one = jax.checkpoint(render_one)
-        return jax.vmap(render_one)(cameras.c2w, cameras.fovy)
+            # backward holds every camera's compacted pair array live
+            # simultaneously
+            render_all = jax.checkpoint(render_all)
+        return render_all(
+            scene.means, scene.scales, scene.quats, scene.features,
+            scene.opacities, means2d_offset,
+        )
 
     def pose_images(self, cameras: CameraBatch):
         """Skeleton conditioning images, back-view occlusion beyond 120
