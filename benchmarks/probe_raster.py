@@ -1,5 +1,6 @@
 """Stage-level breakdown of the tiled rasterizer on the bench scene."""
-import time
+import sys, os, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -15,7 +16,8 @@ rt = importlib.import_module("humangaussian_tpu.ops.rasterize_tiled")
 rng = np.random.RandomState(0)
 n = 100_000
 h = w = 1024
-cfg = RasterizeConfig(tile=32, max_tiles_per_gaussian=16)
+MAXT = int(os.environ.get("MAXT", "16"))
+cfg = RasterizeConfig(tile=32, max_tiles_per_gaussian=MAXT)
 c2w = look_at_c2w(jnp.array([0.0, 0.0, 3.0]), jnp.zeros(3), jnp.array([0.0, 1.0, 0.0]))
 camera = camera_from_c2w(c2w, 0.8, h, w)
 background = jnp.zeros((3,), jnp.float32)
@@ -30,6 +32,8 @@ alive = jnp.ones((n,), bool)
 tiles_x = tiles_y = 1024 // 32
 num_tiles = tiles_x * tiles_y
 K = 4096
+P_CAP = rt._resolve_pair_capacity(n, cfg.rect_side ** 2, cfg, None)
+print(f"R={cfg.rect_side**2} P_cap={P_CAP}")
 
 
 def bench(name, f, *args, iters=20):
@@ -53,95 +57,76 @@ prims = bench("projection", proj, params)
 @jax.jit
 def binning(p):
     prims = proj(p)
-    return build_pair_lists(prims, tiles_x, tiles_y, K, cfg)
+    return build_pair_lists(prims, tiles_x, tiles_y, K, cfg, pair_capacity=P_CAP)
 
 pairs = bench("projection+binning(sort)", binning, params)
 
-# scene stats
 counts = np.asarray(pairs.counts)
 seg = np.asarray(pairs.starts)
 seg_len = seg[1:] - seg[:-1]
-print(f"  P={pairs.sorted_rank.shape[0]} live_pairs={seg_len.sum()} "
+print(f"  P={pairs.sorted_rank.shape[0]} live_pairs={counts.sum()} "
       f"counts mean={counts.mean():.0f} max={counts.max()} "
       f"overflow={int(pairs.overflow)}")
-nvis = int(np.asarray(prims.visible).sum())
-rad = np.asarray(prims.radii)
-print(f"  visible={nvis} radius mean={rad[rad>0].mean():.1f} max={rad.max()}")
 
 @jax.jit
-def to_feats(p):
+def to_pairs(p):
     prims = proj(p)
-    pairs = build_pair_lists(prims, tiles_x, tiles_y, K, cfg)
-    fmat = jnp.stack(
-        [prims.means2d[:, 0], prims.means2d[:, 1],
-         prims.conics[:, 0], prims.conics[:, 1], prims.conics[:, 2],
-         prims.rgb[:, 0], prims.rgb[:, 1], prims.rgb[:, 2],
-         prims.opacities, prims.depths]
-        + [jnp.zeros((n,), jnp.float32)] * 6, axis=1)
-    feats = rt.gather_pair_table(
-        fmat, pairs.order, pairs.sorted_rank, pairs.sorted_key,
-        pairs.cand_keys, pairs.starts, pairs.counts, K, pairs.rank_bits)
-    return feats, pairs.counts
+    pairs = build_pair_lists(prims, tiles_x, tiles_y, K, cfg, pair_capacity=P_CAP)
+    fmat = rt._feature_matrix(prims)
+    pf = rt.pair_gather(fmat, pairs.order, pairs.sorted_key, pairs.cand_keys,
+                        P_CAP, pairs.rank_bits)
+    return pf, pairs.counts, jnp.minimum(pairs.starts[:-1], P_CAP)
 
-feats, countsj = bench("projection+binning+gathers (fwd table)", to_feats, params)
-feats = feats.reshape(num_tiles, K // 128, 128, 16).transpose(0, 1, 3, 2)
+pf, countsj, startsj = bench("proj+bin+pair_gather", to_pairs, params)
 
 import math
 s = rt.CompositeStatics(
     tiles_x=tiles_x, tiles_y=tiles_y, tile=32, pix=1024, chunk=128,
-    n_chunks=K // 128, alpha_min=cfg.alpha_min, alpha_max=cfg.alpha_max,
+    alpha_min=cfg.alpha_min, alpha_max=cfg.alpha_max,
     log_eps=math.log(cfg.transmittance_eps), interpret=False)
-off = jnp.zeros((1,), jnp.int32)
+tileid = jnp.arange(num_tiles, dtype=jnp.int32)
 
 @jax.jit
-def comp_fwd(feats, counts):
-    return rt.composite_tiles(feats, counts, off, s)
+def comp_fwd(pf, counts, starts):
+    return rt.composite_tiles(pf, counts, starts, tileid, s)
 
-bench("composite fwd only", comp_fwd, feats, countsj)
+bench("composite fwd only", comp_fwd, pf, countsj, startsj)
 
 @jax.jit
-def comp_fb(feats, counts):
-    def loss(f):
-        return jnp.sum(rt.composite_tiles(f, counts, off, s))
-    return jax.grad(loss)(feats)
+def comp_fb(pf, counts, starts):
+    def loss(x):
+        return jnp.sum(rt.composite_tiles(x, counts, starts, tileid, s))
+    return jax.grad(loss)(pf)
 
-bench("composite fwd+bwd only", comp_fb, feats, countsj)
+bench("composite fwd+bwd only", comp_fb, pf, countsj, startsj)
 
 @jax.jit
 def gather_fb(p):
     prims = proj(p)
-    pairs = build_pair_lists(prims, tiles_x, tiles_y, K, cfg)
-    fmat = jnp.stack(
-        [prims.means2d[:, 0], prims.means2d[:, 1],
-         prims.conics[:, 0], prims.conics[:, 1], prims.conics[:, 2],
-         prims.rgb[:, 0], prims.rgb[:, 1], prims.rgb[:, 2],
-         prims.opacities, prims.depths]
-        + [jnp.zeros((n,), jnp.float32)] * 6, axis=1)
+    pairs = build_pair_lists(prims, tiles_x, tiles_y, K, cfg, pair_capacity=P_CAP)
+    fmat = rt._feature_matrix(prims)
     def loss(fm):
-        feats = rt.gather_pair_table(
-            fm, pairs.order, pairs.sorted_rank, pairs.sorted_key,
-            pairs.cand_keys, pairs.starts, pairs.counts, K, pairs.rank_bits)
-        return jnp.sum(feats * feats)
+        pfx = rt.pair_gather(fm, pairs.order, pairs.sorted_key,
+                             pairs.cand_keys, P_CAP, pairs.rank_bits)
+        return jnp.sum(pfx * pfx)
     return jax.grad(loss)(fmat)
 
 bench("proj+bin+gather fwd + gather-bwd", gather_fb, params)
 
-from humangaussian_tpu.ops.rasterize_tiled import rasterize_tiled
-
 @jax.jit
 def full_fwd(p):
-    return rasterize_tiled(p["means"], p["scales"], p["quats"], p["sh"],
-                           p["opacities"], alive, camera, background, 0, cfg,
-                           tile_capacity=K)["image"]
+    return rt.rasterize_tiled(p["means"], p["scales"], p["quats"], p["sh"],
+                              p["opacities"], alive, camera, background, 0, cfg,
+                              tile_capacity=K)["image"]
 
 bench("FULL fwd", full_fwd, params)
 
 @jax.jit
 def full_fb(p):
     def loss(q):
-        o = rasterize_tiled(q["means"], q["scales"], q["quats"], q["sh"],
-                            q["opacities"], alive, camera, background, 0, cfg,
-                            tile_capacity=K)
+        o = rt.rasterize_tiled(q["means"], q["scales"], q["quats"], q["sh"],
+                               q["opacities"], alive, camera, background, 0, cfg,
+                               tile_capacity=K)
         return jnp.sum(o["image"]) + jnp.sum(o["depth"]) * 1e-3 + jnp.sum(o["alpha"])
     return jax.grad(loss)(p)["means"]
 

@@ -175,7 +175,7 @@ class FeedForward(nn.Module):
         dim = x.shape[-1]
         h = nn.Dense(dim * 8, dtype=self.dtype, name="proj_in")(x)  # geglu
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate)
+        h = h * nn.gelu(gate, approximate=False)  # torch F.gelu is exact erf
         return nn.Dense(dim, dtype=self.dtype, name="proj_out")(h)
 
 
@@ -188,15 +188,15 @@ class BasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, context):
         dim = x.shape[-1]
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         x = x + Attention(
             self.heads, dim, None, self.dtype, self.use_flash, name="attn1"
         )(h)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         x = x + Attention(self.heads, dim, self.context_dim, self.dtype, name="attn2")(
             h, context
         )
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
         return x + FeedForward(self.dtype, name="ff")(h)
 
 
@@ -258,9 +258,11 @@ class DownBlock(nn.Module):
                 )(x, context)
             res_out.append(x)
         if self.add_downsample:
-            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            # diffusers UNet Downsample2D: Conv2d(3x3, stride 2, padding=1)
+            # (unet_rgbdepth.py:178 downsample_padding=1). NOT the VAE's
+            # asymmetric (0,1) pad — caught by tests/test_torch_parity.py.
             x = nn.Conv(
-                self.out_channels, (3, 3), strides=2, padding="VALID",
+                self.out_channels, (3, 3), strides=2, padding=1,
                 dtype=c.dtype, name="downsample",
             )(x)
             res_out.append(x)
