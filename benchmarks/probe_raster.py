@@ -69,51 +69,6 @@ print(f"  P={pairs.sorted_rank.shape[0]} live_pairs={counts.sum()} "
       f"overflow={int(pairs.overflow)}")
 
 @jax.jit
-def to_pairs(p):
-    prims = proj(p)
-    pairs = build_pair_lists(prims, tiles_x, tiles_y, K, cfg, pair_capacity=P_CAP)
-    fmat = rt._feature_matrix(prims)
-    pf = rt.pair_gather(fmat, pairs.order, pairs.sorted_key, pairs.cand_keys,
-                        P_CAP, pairs.rank_bits)
-    return pf, pairs.counts, jnp.minimum(pairs.starts[:-1], P_CAP)
-
-pf, countsj, startsj = bench("proj+bin+pair_gather", to_pairs, params)
-
-import math
-s = rt.CompositeStatics(
-    tiles_x=tiles_x, tiles_y=tiles_y, tile=32, pix=1024, chunk=128,
-    alpha_min=cfg.alpha_min, alpha_max=cfg.alpha_max,
-    log_eps=math.log(cfg.transmittance_eps), interpret=False)
-tileid = jnp.arange(num_tiles, dtype=jnp.int32)
-
-@jax.jit
-def comp_fwd(pf, counts, starts):
-    return rt.composite_tiles(pf, counts, starts, tileid, s)
-
-bench("composite fwd only", comp_fwd, pf, countsj, startsj)
-
-@jax.jit
-def comp_fb(pf, counts, starts):
-    def loss(x):
-        return jnp.sum(rt.composite_tiles(x, counts, starts, tileid, s))
-    return jax.grad(loss)(pf)
-
-bench("composite fwd+bwd only", comp_fb, pf, countsj, startsj)
-
-@jax.jit
-def gather_fb(p):
-    prims = proj(p)
-    pairs = build_pair_lists(prims, tiles_x, tiles_y, K, cfg, pair_capacity=P_CAP)
-    fmat = rt._feature_matrix(prims)
-    def loss(fm):
-        pfx = rt.pair_gather(fm, pairs.order, pairs.sorted_key,
-                             pairs.cand_keys, P_CAP, pairs.rank_bits)
-        return jnp.sum(pfx * pfx)
-    return jax.grad(loss)(fmat)
-
-bench("proj+bin+gather fwd + gather-bwd", gather_fb, params)
-
-@jax.jit
 def full_fwd(p):
     return rt.rasterize_tiled(p["means"], p["scales"], p["quats"], p["sh"],
                               p["opacities"], alive, camera, background, 0, cfg,

@@ -155,28 +155,37 @@ class DualBranchGuidance:
         latents_noisy = self.schedule.add_noise(latents, noise, t)
         depth_noisy = self.schedule.add_noise(depth_latents, dnoise, t)
 
-        lat_in = jnp.concatenate(
-            [jnp.tile(latents_noisy, (3, 1, 1, 1)),
-             jnp.tile(whole_latents, (3, 1, 1, 1))], axis=-1
-        )
-        dep_in = jnp.concatenate(
-            [jnp.tile(depth_noisy, (3, 1, 1, 1)),
-             jnp.tile(whole_latents, (3, 1, 1, 1))], axis=-1
-        )
-        t3 = jnp.tile(t, (3,))
-        pred = self._unet_eps(lat_in, dep_in, t3, text_embeddings)
-        e_text, e_neg, e_null = jnp.split(pred, 3, axis=0)
+        def unet_k(k, text):
+            lat_in = jnp.concatenate(
+                [jnp.tile(latents_noisy, (k, 1, 1, 1)),
+                 jnp.tile(whole_latents, (k, 1, 1, 1))], axis=-1
+            )
+            dep_in = jnp.concatenate(
+                [jnp.tile(depth_noisy, (k, 1, 1, 1)),
+                 jnp.tile(whole_latents, (k, 1, 1, 1))], axis=-1
+            )
+            return self._unet_eps(lat_in, dep_in, jnp.tile(t, (k,)), text)
 
         if self.cfg.mode == "anpg":
-            # NFSD decomposition (compute_grad_anpg:383-397)
+            # NFSD decomposition over a 3-way [cond|neg|null] batch
+            # (compute_grad_anpg:371-397)
+            pred = unet_k(3, text_embeddings)
+            e_text, e_neg, e_null = jnp.split(pred, 3, axis=0)
             delta_c = self.cfg.guidance_scale * (e_text - e_null)
             mask = (t < self.cfg.anpg_boundary_t).astype(jnp.float32)
             mask = mask.reshape(b, 1, 1, 1)
             delta_d = mask * e_null + (1.0 - mask) * (e_null - e_neg)
             score = delta_c + delta_d
         elif self.cfg.mode == "sds":
-            # plain CFG against the uncond/neg slot (compute_grad_sds)
-            noise_pred = e_null + self.cfg.guidance_scale * (e_text - e_null)
+            # reference compute_grad_sds: 2-way [cond|neg] batch
+            # (text_embeddings[:2B], :508-509) and the quirky CFG with
+            # the TEXT prediction as base term:
+            #   noise_pred = e_text + s*(e_text - e_uncond)   (:543-545)
+            pred = unet_k(2, text_embeddings[: 2 * b])
+            e_text, e_uncond = jnp.split(pred, 2, axis=0)
+            noise_pred = e_text + self.cfg.guidance_scale * (
+                e_text - e_uncond
+            )
             if self.cfg.guidance_rescale > 0.0:
                 noise_pred = rescale_noise_cfg(
                     noise_pred, e_text, self.cfg.guidance_rescale

@@ -332,6 +332,63 @@ class _OutputHead(nn.Module):
         )(x)
 
 
+class SingleUNet(nn.Module):
+    """Plain diffusers `UNet2DConditionModel` (no depth branch, no size
+    micro-conditioning) — the backbone of the standalone
+    stable-diffusion guidance
+    (/root/reference/threestudio/models/guidance/stable_diffusion_guidance.py:52-80
+    loads `stabilityai/stable-diffusion-2-1-base`'s UNet). Shares every
+    block with DualBranchUNet, so the same torch->flax converter and
+    parity tests cover it."""
+
+    cfg: UNetConfig = SD2_BASE_CONFIG
+
+    @nn.compact
+    def __call__(self, sample, timesteps, encoder_hidden_states):
+        c = self.cfg
+        n = len(c.block_out_channels)
+        t_emb = sinusoidal_embedding(timesteps, c.block_out_channels[0])
+        emb = TimestepEmbedding(c.time_embed_dim, c.dtype, name="time_embedding")(
+            t_emb.astype(c.dtype)
+        )
+        context = encoder_hidden_states.astype(c.dtype)
+        h = nn.Conv(
+            c.block_out_channels[0], (3, 3), padding=1, dtype=c.dtype,
+            name="conv_in",
+        )(sample.astype(c.dtype))
+        res = [h]
+        for i in range(n):
+            blk = DownBlock(
+                c.block_out_channels[i], c.layers_per_block,
+                c.down_block_has_attn[i], c.attn_heads[i], c,
+                add_downsample=i < n - 1, name=f"down_block_{i}",
+            )
+            h, rs = blk(h, emb, context)
+            res += rs
+        h = MidBlock(c, name="mid_block")(h, emb, context)
+        rev_ch = list(reversed(c.block_out_channels))
+        rev_attn = list(reversed(c.down_block_has_attn))
+        rev_heads = list(reversed(c.attn_heads))
+        for i in range(n):
+            blk = UpBlock(
+                rev_ch[i], c.layers_per_block + 1, rev_attn[i],
+                rev_heads[i], c, add_upsample=i < n - 1,
+                name=f"up_block_{i}",
+            )
+            h = blk(h, res, emb, context)
+        out = _OutputHead(c, name="head")(h)
+        return out.astype(jnp.float32)
+
+
+SD2_SINGLE_CONFIG = dataclasses.replace(
+    SD2_BASE_CONFIG, in_channels=4
+)
+
+TINY_SINGLE_CONFIG = dataclasses.replace(
+    TINY_TEST_CONFIG, in_channels=4
+)
+
+
 class DualBranchUNet(nn.Module):
     cfg: UNetConfig = SD2_BASE_CONFIG
 

@@ -14,23 +14,23 @@ Architecture (static shapes end to end):
   project (pure JAX, ops/projection.py)
     -> bin (ops/binning.py): ONE packed-key sort of the (tile, Gaussian)
        candidate pairs; per-tile segments of the sorted order
-    -> pair_gather: ONE [P_cap, 16] row gather producing the compacted,
-       depth-ordered pair-feature array (NO [tiles, K] table — v1
-       materialized a 64x-oversized static table in HBM; the pair array
-       is sized by live pairs, not tiles x capacity)
+    -> pair_gather: ONE row gather producing the compacted, depth-ordered
+       pair-feature array, stored FEATURE-MAJOR [16, P_cap] (NO
+       [tiles, K] table — v1 materialized a 64x-oversized static table
+       in HBM; the pair array is sized by live pairs, not tiles x cap)
     -> composite (THIS FILE): Pallas kernel, grid over tiles. Each tile
-       program streams its contiguous pair segment from HBM with
-       double-buffered async DMA, bounded by the tile's live count, and
-       STOPS EARLY once every pixel in the tile is saturated (the CUDA
-       kernel's per-pixel early-out, lifted to whole-tile granularity).
+       program streams 256-lane windows of its contiguous pair segment
+       from HBM with double-buffered async DMA (lane offsets
+       128-aligned; the sub-window offset is absorbed by a dynamic lane
+       rotate), bounded by the tile's live count, and STOPS EARLY once
+       every pixel in the tile is saturated (the CUDA kernel's per-pixel
+       early-out, lifted to whole-tile granularity).
 
 The compositing math is the log-transmittance vectorized recurrence
 documented in ops/rasterize_ref.py — oracle and kernel share the identity,
-so they agree to float rounding. Panels are laid out [G, PIX] (pairs on
-sublanes, pixels on lanes) so a DMA'd [128, 16] chunk of pair rows is
-consumed directly with no transpose. Per chunk the kernel does VPU work
-on [G, PIX] panels plus two MXU matmuls (cumsum-by-triangular-ones and
-feature accumulation).
+so they agree to float rounding. Per 128-pair chunk the kernel does VPU
+work on [PIX, 128] panels plus two MXU matmuls (cumsum-by-triangular-ones
+and feature accumulation).
 
 The backward pass is analytic (no autodiff through the scan): with
   w_i = T_i * alpha_i,   phi_i = F_i . gF   (F_i = [rgb_i, depth_i, 1]),
@@ -41,12 +41,18 @@ the alpha gradient is
 which the kernel evaluates in a single forward replay per tile —
 the same suffix-accumulation trick the CUDA backward implements by
 back-to-front traversal, re-expressed front-to-back so forward and
-backward share code and memory layout. Pair gradients are written back
-to the compacted pair array (each sorted pair belongs to exactly one
-tile slot, so the write is a contiguous per-tile stream, not a scatter),
-then transposed to per-Gaussian gradients with the pair sort's inverse
-permutation (two payload sorts, computed only when gradients are needed)
-and one [N*R] row gather — no TPU scatter anywhere.
+backward share code and memory layout.
+
+Backward data path (no TPU scatter anywhere): each chunk's [16, 128]
+pair-gradient block is DMA'd to a per-tile PAGE slot of a
+[16*C_cap, 128] buffer (page_start[t] = starts[t]//128 + t allocates
+disjoint page ranges by construction), the page buffer is transposed
+once in XLA to pair-major rows, and each Gaussian gathers its <= R
+candidate rows back. The candidate -> page-row index (pos2) is computed
+entirely ELEMENTWISE over the sorted order (segment begins via cummax,
+segment ends via a reverse cummin) and carried back to candidate order
+as a payload of the pair sort's inverse — two 2-operand sorts total,
+paid only when gradients flow.
 
 Gradient semantics match jax.grad of the oracle (autodiff): the alpha
 clamp at 0.99 and the power<=0 gate zero their branches' gradients. (The
@@ -68,13 +74,11 @@ from humangaussian_tpu.core.camera import Camera
 from humangaussian_tpu.ops.binning import build_pair_lists
 from humangaussian_tpu.ops.projection import RasterizeConfig, project_gaussians
 
-# feature-column layout of a [P, 16] pair row. 16 = 10 live features + 6
-# zero columns — one full f32 sublane tile, so a pair row is fetched as
-# ONE wide-row gather (21x faster on TPU than per-feature scalar
-# gathers) and a DMA'd [128, 16] chunk is lane-aligned.
+# feature-row layout of the [16, P] pair array. 16 = 10 live features +
+# 6 zero rows — one full f32 sublane tile.
 _FX, _FY, _FCA, _FCB, _FCC, _FR, _FG, _FB, _FOPA, _FDEPTH = range(10)
 _NF = 16
-_GUARD = 128  # zero guard rows so the last chunk's DMA never runs OOB
+_WIN = 256  # DMA window lanes (2 x chunk; absorbs the segment offset)
 
 
 class CompositeStatics(NamedTuple):
@@ -84,55 +88,55 @@ class CompositeStatics(NamedTuple):
     tiles_y: int
     tile: int  # pixel tile edge
     pix: int  # tile * tile
-    chunk: int  # Gaussians per inner chunk (128)
+    chunk: int  # pairs per inner chunk (128)
     alpha_min: float
     alpha_max: float
     log_eps: float  # log of transmittance early-stop threshold
     interpret: bool
 
 
-def _pixel_rows(t, s: CompositeStatics):
-    """Per-tile pixel centers as [1, PIX] f32 rows (pix = py*tile+px).
+def _pixel_coords(t, s: CompositeStatics):
+    """Per-tile pixel centers as [PIX,1] f32 columns (pix = py*tile+px).
     `t` is the tile id within its image (from the prefetched tileid
     array, so the same kernel serves sharded and camera-batched grids)."""
     ty = t // s.tiles_x
     tx = t % s.tiles_x
-    lin = jax.lax.broadcasted_iota(jnp.int32, (1, s.pix), 1)
+    lin = jax.lax.broadcasted_iota(jnp.int32, (s.pix, 1), 0)
     px = (tx * s.tile + lin % s.tile).astype(jnp.float32)
     py = (ty * s.tile + lin // s.tile).astype(jnp.float32)
     return px, py
 
 
-def _sub_cumsum(x, g: int):
-    """Inclusive cumsum along the sublane (pair) axis of [G, PIX] via a
-    lower-triangular ones matmul — Mosaic has no cumsum primitive, and
-    one [G,G]x[G,PIX] MXU pass beats a log-step shift chain anyway."""
+def _lane_cumsum(x, g: int):
+    """Inclusive cumsum along the lane axis of [PIX, G] via an upper-
+    triangular ones matmul — Mosaic has no cumsum primitive, and one
+    [PIX,G]x[G,G] MXU pass beats a log-step shift chain anyway."""
     row = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
-    tri = (col <= row).astype(jnp.float32)
+    tri = (row <= col).astype(jnp.float32)
     return jax.lax.dot_general(
-        tri, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        x, tri, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
 
 
 def _chunk_common(f, px, py, kc, count, s: CompositeStatics):
     """Shared per-chunk quantities for forward and backward replay.
 
-    `f` is a [G, NF] chunk of pair rows; panels are [G, PIX]."""
-    x = f[:, _FX : _FX + 1]
-    y = f[:, _FY : _FY + 1]
-    ca = f[:, _FCA : _FCA + 1]
-    cb = f[:, _FCB : _FCB + 1]
-    cc = f[:, _FCC : _FCC + 1]
-    opa = f[:, _FOPA : _FOPA + 1]
-    dxv = x - px  # [G, PIX]
+    `f` is a [NF, G] chunk of pair features; panels are [PIX, G]."""
+    x = f[_FX : _FX + 1, :]
+    y = f[_FY : _FY + 1, :]
+    ca = f[_FCA : _FCA + 1, :]
+    cb = f[_FCB : _FCB + 1, :]
+    cc = f[_FCC : _FCC + 1, :]
+    opa = f[_FOPA : _FOPA + 1, :]
+    dxv = x - px  # [PIX, G]
     dyv = y - py
     power = -0.5 * (ca * dxv * dxv + cc * dyv * dyv) - cb * dxv * dyv
     expp = jnp.exp(jnp.minimum(power, 0.0))
     alpha_raw = opa * expp
     alpha = jnp.minimum(alpha_raw, s.alpha_max)
-    gi = jax.lax.broadcasted_iota(jnp.int32, (s.chunk, 1), 0)
-    valid = (kc * s.chunk + gi) < count  # masks tail lanes of last chunk
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, s.chunk), 1)
+    valid = (kc * s.chunk + lane) < count
     pass_ = valid & (power <= 0.0) & (alpha >= s.alpha_min)
     log1ma = jnp.where(pass_, jnp.log1p(-jnp.where(pass_, alpha, 0.0)), 0.0)
     return dict(
@@ -154,41 +158,54 @@ def _chunk_common(f, px, py, kc, count, s: CompositeStatics):
 def _recurrence(c, log_t, done_f, s: CompositeStatics):
     """Front-to-back recurrence for one chunk (see module docstring).
 
-    `log_t`/`done_f` are [1, PIX] carried rows; the stop latch is float
-    (0/1) — Mosaic handles f32 scratch state more robustly than i1."""
-    cum = _sub_cumsum(c["log1ma"], s.chunk)
+    `log_t`/`done_f` are [PIX, 1] carried columns; the stop latch is
+    float (0/1) — Mosaic handles f32 scratch state more robustly than
+    i1 vectors."""
+    cum = _lane_cumsum(c["log1ma"], s.chunk)
     log_t_before = log_t + cum - c["log1ma"]
     trigger = c["pass_"] & (log_t_before + c["log1ma"] < s.log_eps)
     done_upto = jnp.maximum(
         done_f,
-        jnp.minimum(_sub_cumsum(trigger.astype(jnp.float32), s.chunk), 1.0),
+        jnp.minimum(_lane_cumsum(trigger.astype(jnp.float32), s.chunk), 1.0),
     )
     contrib = c["pass_"] & (done_upto < 0.5)
     w = jnp.where(contrib, jnp.exp(log_t_before) * c["alpha"], 0.0)
     new_log_t = log_t + jnp.sum(
-        jnp.where(contrib, c["log1ma"], 0.0), axis=0, keepdims=True
+        jnp.where(contrib, c["log1ma"], 0.0), axis=1, keepdims=True
     )
-    new_done = done_upto[s.chunk - 1 : s.chunk, :]
+    new_done = done_upto[:, s.chunk - 1 : s.chunk]
     return w, contrib, log_t_before, new_log_t, new_done
 
 
 def _feat_matrix(f, s: CompositeStatics):
-    """[G, 8] accumulation features: rgb, depth, ones, zero-pad."""
+    """[8, G] accumulation features: rgb, depth, ones, zero-pad."""
     return jnp.concatenate(
         [
-            f[:, _FR : _FB + 1],
-            f[:, _FDEPTH : _FDEPTH + 1],
-            jnp.ones((s.chunk, 1), jnp.float32),
-            jnp.zeros((s.chunk, 3), jnp.float32),
+            f[_FR : _FB + 1, :],
+            f[_FDEPTH : _FDEPTH + 1, :],
+            jnp.ones((1, s.chunk), jnp.float32),
+            jnp.zeros((3, s.chunk), jnp.float32),
         ],
-        axis=1,
+        axis=0,
     )
 
 
-def _pair_dma(pairs_hbm, buf, sem, start, kc, slot, s):
-    """Async copy of pair chunk kc (rows [start+128kc, +128)) into slot."""
+def _lane_shift(window, off, s: CompositeStatics):
+    """[NF, WIN] DMA window -> [NF, chunk] chunk starting at lane `off`
+    (off < chunk, so the first `chunk` lanes of the rotate never wrap)."""
+    if s.interpret:
+        rolled = jnp.roll(window, -off, axis=1)
+    else:
+        shift = jnp.where(off > 0, _WIN - off, 0)
+        rolled = pltpu.roll(window, shift, axis=1)
+    return rolled[:, : s.chunk]
+
+
+def _read_dma(pairs_hbm, buf, sem, base, kc, slot, s):
+    """Async copy of the 128-aligned [NF, WIN] window for chunk kc."""
+    lane0 = pl.multiple_of(base + kc * s.chunk, 128)
     return pltpu.make_async_copy(
-        pairs_hbm.at[pl.ds(start + kc * s.chunk, s.chunk), :],
+        pairs_hbm.at[:, pl.ds(lane0, _WIN)],
         buf.at[slot],
         sem.at[slot],
     )
@@ -203,18 +220,20 @@ def _fwd_kernel(
     through an scf loop trips Mosaic layout bugs and costs moves."""
     ti = pl.program_id(0)
     count = counts_ref[ti]
-    start = starts_ref[ti]
+    start = starts_ref[ti]  # lane offset into the flat pair array
     t = tileid_ref[ti]
+    off = jax.lax.rem(start, s.chunk)
+    base = start - off
     nlive = pl.cdiv(count, s.chunk)
-    px, py = _pixel_rows(t, s)
+    px, py = _pixel_coords(t, s)
 
-    logt_ref[:, :] = jnp.zeros((1, s.pix), jnp.float32)
-    done_ref[:, :] = jnp.zeros((1, s.pix), jnp.float32)
-    acc_ref[:, :] = jnp.zeros((8, s.pix), jnp.float32)
+    logt_ref[:, :] = jnp.zeros((s.pix, 1), jnp.float32)
+    done_ref[:, :] = jnp.zeros((s.pix, 1), jnp.float32)
+    acc_ref[:, :] = jnp.zeros((s.pix, 8), jnp.float32)
 
     @pl.when(nlive > 0)
     def _():
-        _pair_dma(pairs_hbm, buf, sem, start, 0, 0, s).start()
+        _read_dma(pairs_hbm, buf, sem, base, 0, 0, s).start()
 
     def cond(carry):
         kc, stop = carry
@@ -223,25 +242,25 @@ def _fwd_kernel(
     def body(carry):
         kc, _ = carry
         slot = jax.lax.rem(kc, 2)
-        _pair_dma(pairs_hbm, buf, sem, start, kc, slot, s).wait()
+        _read_dma(pairs_hbm, buf, sem, base, kc, slot, s).wait()
 
         @pl.when(kc + 1 < nlive)
         def _():
-            _pair_dma(
-                pairs_hbm, buf, sem, start, kc + 1, jax.lax.rem(kc + 1, 2), s
+            _read_dma(
+                pairs_hbm, buf, sem, base, kc + 1, jax.lax.rem(kc + 1, 2), s
             ).start()
 
-        f = buf[slot]  # [G, NF]
+        f = _lane_shift(buf[slot], off, s)  # [NF, G]
         c = _chunk_common(f, px, py, kc, count, s)
         w, _contrib, _ltb, new_log_t, new_done = _recurrence(
             c, logt_ref[:, :], done_ref[:, :], s
         )
         acc_ref[:, :] += jax.lax.dot_general(
-            _feat_matrix(f, s),
             w,
-            (((0,), (0,)), ((), ())),
+            _feat_matrix(f, s),
+            (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [8, PIX]
+        )  # [PIX, 8]
         logt_ref[:, :] = new_log_t
         done_ref[:, :] = new_done
         # whole-tile early stop: every pixel saturated => remaining
@@ -257,41 +276,48 @@ def _fwd_kernel(
     # a prefetch for chunk kfin may be in flight after an early stop
     @pl.when(jnp.logical_and(stopped, kfin < nlive))
     def _():
-        _pair_dma(pairs_hbm, buf, sem, start, kfin, jax.lax.rem(kfin, 2), s).wait()
+        _read_dma(
+            pairs_hbm, buf, sem, base, kfin, jax.lax.rem(kfin, 2), s
+        ).wait()
 
-    # channel rows: 0-2 rgb, 3 depth, 4 sum(w), 5 log T_final, 6-7 zero
+    # channels: 0-2 rgb, 3 depth, 4 sum(w), 5 log T_final, 6-7 zero
     out_ref[0] = jnp.concatenate(
-        [acc_ref[0:5, :], logt_ref[:, :], jnp.zeros((2, s.pix), jnp.float32)],
-        axis=0,
+        [acc_ref[:, 0:5], logt_ref[:, :], jnp.zeros((s.pix, 2), jnp.float32)],
+        axis=1,
     )
 
 
 def _bwd_kernel(
-    counts_ref, starts_ref, tileid_ref, pairs_hbm, gvec_ref, _zeros_hbm,
-    dpair_hbm, buf, wbuf, logt_ref, done_ref, prefix_ref, sem, wsem,
-    *, s: CompositeStatics,
+    counts_ref, starts_ref, tileid_ref, pagestart_ref, pairs_hbm, gvec_ref,
+    _zeros_hbm, dpaged_hbm, buf, wbuf, logt_ref, done_ref, prefix_ref,
+    sem, wsem, *, s: CompositeStatics,
 ):
     ti = pl.program_id(0)
     count = counts_ref[ti]
     start = starts_ref[ti]
     t = tileid_ref[ti]
+    pstart = pagestart_ref[ti]
+    off = jax.lax.rem(start, s.chunk)
+    base = start - off
     nlive = pl.cdiv(count, s.chunk)
-    px, py = _pixel_rows(t, s)
-    g8 = gvec_ref[0]  # [8, PIX]: rows 0-4 output cotangents, row 5 = S
-    svec = g8[5:6, :]
+    px, py = _pixel_coords(t, s)
+    g8 = gvec_ref[0]  # [PIX, 8]: 0-4 output cotangents, 5 = S
+    svec = g8[:, 5:6]
 
-    logt_ref[:, :] = jnp.zeros((1, s.pix), jnp.float32)
-    done_ref[:, :] = jnp.zeros((1, s.pix), jnp.float32)
-    prefix_ref[:, :] = jnp.zeros((1, s.pix), jnp.float32)
+    logt_ref[:, :] = jnp.zeros((s.pix, 1), jnp.float32)
+    done_ref[:, :] = jnp.zeros((s.pix, 1), jnp.float32)
+    prefix_ref[:, :] = jnp.zeros((s.pix, 1), jnp.float32)
 
     @pl.when(nlive > 0)
     def _():
-        _pair_dma(pairs_hbm, buf, sem, start, 0, 0, s).start()
+        _read_dma(pairs_hbm, buf, sem, base, 0, 0, s).start()
 
     def wdma(slot, kc):
+        # page slot pstart+kc is OWNED by this tile (page_start
+        # allocation is disjoint by construction — module docstring)
         return pltpu.make_async_copy(
             wbuf.at[slot],
-            dpair_hbm.at[pl.ds(start + kc * s.chunk, s.chunk), :],
+            dpaged_hbm.at[pl.ds((pstart + kc) * _NF, _NF), :],
             wsem.at[slot],
         )
 
@@ -302,12 +328,12 @@ def _bwd_kernel(
     def body(carry):
         kc, _ = carry
         slot = jax.lax.rem(kc, 2)
-        _pair_dma(pairs_hbm, buf, sem, start, kc, slot, s).wait()
+        _read_dma(pairs_hbm, buf, sem, base, kc, slot, s).wait()
 
         @pl.when(kc + 1 < nlive)
         def _():
-            _pair_dma(
-                pairs_hbm, buf, sem, start, kc + 1, jax.lax.rem(kc + 1, 2), s
+            _read_dma(
+                pairs_hbm, buf, sem, base, kc + 1, jax.lax.rem(kc + 1, 2), s
             ).start()
 
         # the write buffer slot is reused every 2 chunks
@@ -315,18 +341,18 @@ def _bwd_kernel(
         def _():
             wdma(slot, kc - 2).wait()
 
-        f = buf[slot]
+        f = _lane_shift(buf[slot], off, s)
         c = _chunk_common(f, px, py, kc, count, s)
         w, contrib, log_t_before, new_log_t, new_done = _recurrence(
             c, logt_ref[:, :], done_ref[:, :], s
         )
-        featm = _feat_matrix(f, s)  # [G, 8]; cols 5-7 zero => S excluded
+        featm = _feat_matrix(f, s)  # [8, G]; rows 5-7 zero => S excluded
         phi = jax.lax.dot_general(
-            featm, g8, (((1,), (0,)), ((), ())),
+            g8, featm, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [G, PIX]
+        )  # [PIX, G]
         wphi = w * phi
-        p_incl = prefix_ref[:, :] + _sub_cumsum(wphi, s.chunk)
+        p_incl = prefix_ref[:, :] + _lane_cumsum(wphi, s.chunk)
         t_i = jnp.exp(log_t_before)
         inv_1ma = 1.0 / jnp.maximum(1.0 - c["alpha"], 1e-6)
         dalpha = jnp.where(
@@ -340,16 +366,15 @@ def _bwd_kernel(
         ddx = dpow * (-(c["ca"] * c["dxv"] + c["cb"] * c["dyv"]))
         ddy = dpow * (-(c["cc"] * c["dyv"] + c["cb"] * c["dxv"]))
 
-        def psum(v):  # sum over pixels -> [G, 1]
-            return jnp.sum(v, axis=1, keepdims=True)
+        def psum(v):  # sum over pixels -> (1, G)
+            return jnp.sum(v, axis=0, keepdims=True)
 
         dcg = jax.lax.dot_general(
-            w, g8, (((1,), (1,)), ((), ())),
+            g8, w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [G, 8]: cols 0-2 = drgb, col 3 = ddepth
-        # masked-out lanes (beyond count / non-contributing) are exactly
-        # zero here, so full-chunk writes spill only zeros into the next
-        # tile's rows — overwritten by that tile's own (later) writes.
+        )  # (8, G): rows 0-2 = drgb, row 3 = ddepth
+        # masked lanes (beyond count / non-contributing) are exactly
+        # zero here; page slots are tile-owned so nothing is clobbered.
         wbuf[slot] = jnp.concatenate(
             [
                 psum(ddx),  # dmu_x
@@ -357,19 +382,19 @@ def _bwd_kernel(
                 psum(dpow * (-0.5 * c["dxv"] * c["dxv"])),  # dconic_a
                 psum(dpow * (-(c["dxv"] * c["dyv"]))),  # dconic_b
                 psum(dpow * (-0.5 * c["dyv"] * c["dyv"])),  # dconic_c
-                dcg[:, 0:3],  # drgb
+                dcg[0:3, :],  # drgb
                 psum(dopa_pix),  # dopacity
-                dcg[:, 3:4],  # ddepth
-                jnp.zeros((s.chunk, _NF - 10), jnp.float32),
+                dcg[3:4, :],  # ddepth
+                jnp.zeros((_NF - 10, s.chunk), jnp.float32),
             ],
-            axis=1,
-        )  # [G, NF]
+            axis=0,
+        )  # [NF, G]
         wdma(slot, kc).start()
 
         logt_ref[:, :] = new_log_t
         done_ref[:, :] = new_done
         prefix_ref[:, :] = prefix_ref[:, :] + jnp.sum(
-            wphi, axis=0, keepdims=True
+            wphi, axis=1, keepdims=True
         )
         all_done = jnp.sum(new_done) > (s.pix - 0.5)
         return kc + 1, all_done
@@ -380,11 +405,11 @@ def _bwd_kernel(
 
     @pl.when(jnp.logical_and(stopped, kfin < nlive))
     def _():
-        _pair_dma(pairs_hbm, buf, sem, start, kfin, jax.lax.rem(kfin, 2), s).wait()
+        _read_dma(
+            pairs_hbm, buf, sem, base, kfin, jax.lax.rem(kfin, 2), s
+        ).wait()
 
-    # drain outstanding writes BEFORE the grid advances: the next tile's
-    # first rows overlap this tile's zero-spill region, and cross-tile
-    # DMA ordering is only guaranteed by this wait.
+    # drain outstanding writes before the grid advances
     @pl.when(kfin >= 2)
     def _():
         wdma(jax.lax.rem(kfin, 2), kfin - 2).wait()
@@ -399,149 +424,251 @@ def _fwd_call(pair_feats, counts, starts, tileid, s: CompositeStatics):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # counts, starts, tileid -> SMEM
         grid=(g,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # pairs stay in HBM
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
-            (1, 8, s.pix), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            (1, s.pix, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, s.chunk, _NF), jnp.float32),  # DMA double buffer
-            pltpu.VMEM((1, s.pix), jnp.float32),  # log T
-            pltpu.VMEM((1, s.pix), jnp.float32),  # stop latch
-            pltpu.VMEM((8, s.pix), jnp.float32),  # accumulators
+            pltpu.VMEM((2, _NF, _WIN), jnp.float32),  # DMA double buffer
+            pltpu.VMEM((s.pix, 1), jnp.float32),  # log T
+            pltpu.VMEM((s.pix, 1), jnp.float32),  # stop latch
+            pltpu.VMEM((s.pix, 8), jnp.float32),  # accumulators
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
         functools.partial(_fwd_kernel, s=s),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((g, 8, s.pix), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g, s.pix, 8), jnp.float32),
         interpret=s.interpret,
     )(counts, starts, tileid, pair_feats)
 
 
-def _bwd_call(pair_feats, counts, starts, tileid, gvec, s: CompositeStatics):
+def _bwd_call(pair_feats, counts, starts, tileid, pagestart, gvec, c_cap,
+              s: CompositeStatics):
     g = counts.shape[0]
-    p_rows = pair_feats.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(g,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # pair features (HBM)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # pair features
             pl.BlockSpec(
-                (1, 8, s.pix), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+                (1, s.pix, 8), lambda t, *_: (t, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pl.ANY),  # zero-init dpair (aliased)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # zero init (aliased)
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, s.chunk, _NF), jnp.float32),  # read buffer
-            pltpu.VMEM((2, s.chunk, _NF), jnp.float32),  # write buffer
-            pltpu.VMEM((1, s.pix), jnp.float32),  # log T
-            pltpu.VMEM((1, s.pix), jnp.float32),  # stop latch
-            pltpu.VMEM((1, s.pix), jnp.float32),  # prefix sum(w*phi)
+            pltpu.VMEM((2, _NF, _WIN), jnp.float32),  # read buffer
+            pltpu.VMEM((2, _NF, s.chunk), jnp.float32),  # write buffer
+            pltpu.VMEM((s.pix, 1), jnp.float32),  # log T
+            pltpu.VMEM((s.pix, 1), jnp.float32),  # stop latch
+            pltpu.VMEM((s.pix, 1), jnp.float32),  # prefix sum(w*phi)
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    # rows never written by any tile (capacity-dropped pairs, sentinel
-    # tail, guard) must read as zero in the transpose: alias a zeros
-    # array into the output so the kernel only overwrites live rows.
-    zeros = jnp.zeros((p_rows, _NF), jnp.float32)
+    # pages never written by any tile (capacity-dropped pairs, sentinel
+    # tail, guard page) must read as zero after the transpose: alias a
+    # zeros array into the output so the kernel only overwrites live
+    # page slots.
+    zeros = jnp.zeros((c_cap * _NF, s.chunk), jnp.float32)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, s=s),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((p_rows, _NF), jnp.float32),
-        input_output_aliases={5: 0},  # zeros input (3 scalars + 2) -> out
+        out_shape=jax.ShapeDtypeStruct((c_cap * _NF, s.chunk), jnp.float32),
+        input_output_aliases={6: 0},  # zeros input (4 scalars + 2) -> out
         interpret=s.interpret,
-    )(counts, starts, tileid, pair_feats, gvec, zeros)
+    )(counts, starts, tileid, pagestart, pair_feats, gvec, zeros)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def composite_tiles(pair_feats, counts, starts, tileid, s: CompositeStatics):
-    """Compacted pair rows [P_rows, 16] + per-grid-step (count, start,
-    tile id) -> [G, 8, PIX] accumulators. Flattened-grid form: G may be
-    tiles of one image, a shard of them, or tiles x cameras."""
-    return _fwd_call(pair_feats, counts, starts, tileid, s)
+def _shard_call(fn, args, tile_shard, psum_out=False):
+    """Run a composite kernel either directly or under shard_map over the
+    flattened grid axis. args[0] is the pair array (replicated); all
+    other args are per-grid-step and shard along the grid axis. With
+    `psum_out` the (partial, disjoint-rows) output is all-reduced."""
+    if tile_shard is None:
+        return fn(*args)
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as _P
+
+    mesh, axis = tile_shard
+    in_specs = (_P(None),) + tuple(_P(axis) for _ in args[1:])
+
+    def wrapped(*xs):
+        out = fn(*xs)
+        if psum_out:
+            out = jax.lax.psum(out, axis)
+        return out
+
+    return shard_map(
+        wrapped, mesh=mesh, in_specs=in_specs,
+        out_specs=_P(None) if psum_out else _P(axis),
+        check_rep=False,
+    )(*args)
 
 
-def _composite_fwd(pair_feats, counts, starts, tileid, s):
-    out = _fwd_call(pair_feats, counts, starts, tileid, s)
-    return out, (pair_feats, counts, starts, tileid, out)
+# ---------------------------------------------------------------------------
+# pos2: candidate -> backward page-row index, computed elementwise over
+# the sorted pair order (see module docstring).
+# ---------------------------------------------------------------------------
 
 
-def _composite_bwd(s, res, g_out):
-    pair_feats, counts, starts, tileid, out = res
-    # S = sum_j w_j phi_j + g_logT, phi from the 5 live output channels
-    phi_tot = jnp.sum(
-        out[:, 0:5, :] * g_out[:, 0:5, :], axis=1, keepdims=True
+def _pos2_candidate_order(sorted_key, cand_keys, p_cap, c_cap, k_cap,
+                          rank_bits, num_tiles):
+    p = sorted_key.shape[0]
+    p_idx = jnp.arange(p, dtype=jnp.int32)
+    t_p = (sorted_key >> rank_bits).astype(jnp.int32)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), t_p[1:] != t_p[:-1]]
     )
-    svec = phi_tot + g_out[:, 5:6, :]
-    gvec = jnp.concatenate(
-        [g_out[:, 0:5, :], svec, jnp.zeros_like(svec), jnp.zeros_like(svec)],
-        axis=1,
-    )
-    dpair = _bwd_call(pair_feats, counts, starts, tileid, gvec, s)
-    return dpair, None, None, None
+    seg_begin = jax.lax.cummax(jnp.where(is_first, p_idx, -1), axis=0)
+    # exclusive-from-the-right min of segment-start positions = seg end
+    starts_pos = jnp.where(is_first, p_idx, p)
+    rev_min = jax.lax.cummin(starts_pos[::-1], axis=0)[::-1]
+    seg_end = jnp.concatenate([rev_min[1:], jnp.full((1,), p, jnp.int32)])
+    seg_len = seg_end - seg_begin
+    begin_c = jnp.minimum(seg_begin, p_cap)
+    cnt = jnp.minimum(jnp.minimum(seg_len, k_cap), p_cap - begin_c)
+    offset = p_idx - seg_begin
+    valid = (offset < cnt) & (t_p < num_tiles)
+    zero_row = c_cap * 128 - 1  # last (guard) page, never written
+    page = (begin_c >> 7) + t_p
+    pos2_sorted = jnp.where(valid, page * 128 + offset, zero_row)
 
-
-composite_tiles.defvjp(_composite_fwd, _composite_bwd)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def pair_gather(fmat, order, sorted_key, cand_keys, p_cap: int,
-                rank_bits: int):
-    """[N,16] features -> [p_cap+guard, 16] compacted depth-ordered pair
-    rows, with a GATHER+SORT-ONLY custom VJP.
-
-    Autodiff of the forward gathers would lower to TPU scatter-adds over
-    the pair array (hundreds of ms). The transpose instead runs entirely
-    on gathers and sorts:
-
-    - the composite backward hands back gradients for exactly the rows
-      gathered here (pair p at row p — a bijection);
-    - the pair sort's inverse permutation is rebuilt with two payload
-      sorts (sort-of-sort trick) — only when gradients flow, so
-      forward-only rendering never pays for it;
-    - each depth rank's candidate pairs are contiguous in unsorted
-      candidate order, so the per-Gaussian reduction is a masked sum
-      over R static slots;
-    - the depth reordering is a permutation, inverted with one more
-      payload sort.
-    """
-    fmat_sorted = fmat[order]
-    rank = sorted_key[:p_cap] & ((1 << rank_bits) - 1)
-    pf = fmat_sorted[rank]
-    return jnp.concatenate(
-        [pf, jnp.zeros((_GUARD, fmat.shape[1]), fmat.dtype)]
-    )
-
-
-def _pair_gather_fwd(fmat, order, sorted_key, cand_keys, p_cap, rank_bits):
-    out = pair_gather(fmat, order, sorted_key, cand_keys, p_cap, rank_bits)
-    return out, (order, cand_keys)
-
-
-def _pair_gather_bwd(p_cap, rank_bits, res, g):
-    order, cand_keys = res
-    n = order.shape[0]
-    p = cand_keys.size
-    r = p // n
+    # carry pos2 back to candidate order as a payload of the inverse
+    # permutation (sort by perm)
     keys_flat = cand_keys.reshape(p)
     iota_p = jnp.arange(p, dtype=jnp.int32)
     _, perm = jax.lax.sort((keys_flat, iota_p), num_keys=1)  # sorted->orig
-    _, inv = jax.lax.sort((perm, iota_p), num_keys=1)  # orig->sorted pos
-    # positions beyond the pair capacity land on guard rows, which are
-    # zero by construction (never written by the backward kernel)
-    pos = jnp.minimum(inv, p_cap + _GUARD - 1)
-    dpr = g[pos]  # [P, 16] rows
-    dfmat_sorted = jnp.sum(dpr.reshape(n, r, g.shape[1]), axis=1)
-    iota_n = jnp.arange(n, dtype=jnp.int32)
-    _, inv_order = jax.lax.sort((order, iota_n), num_keys=1)
-    dfmat = dfmat_sorted[inv_order]
-    return dfmat, None, None, None
+    _, pos2_cand = jax.lax.sort((perm, pos2_sorted), num_keys=1)
+    return pos2_cand  # [P] int32, candidate (rank-major) order
 
 
-pair_gather.defvjp(_pair_gather_fwd, _pair_gather_bwd)
+# ---------------------------------------------------------------------------
+# render core: one custom_vjp spanning gather + composite, batch-aware
+# ---------------------------------------------------------------------------
+
+
+class _CoreStatics(NamedTuple):
+    s: CompositeStatics
+    p_cap: int
+    lanes: int  # padded lane count of one camera's pair array
+    c_cap: int  # pages per camera in the backward buffer
+    k_cap: int  # tile_capacity
+    rank_bits: int
+    num_tiles: int
+
+
+def _build_pair_t(fmat, order, sorted_key, cs: _CoreStatics):
+    """[N,16] features -> feature-major [16, lanes] compacted pair array
+    for ONE camera."""
+    fmat_sorted = fmat[order]
+    rank = sorted_key[: cs.p_cap] & ((1 << cs.rank_bits) - 1)
+    pf = fmat_sorted[rank]  # [p_cap, 16]
+    pf_t = pf.T  # [16, p_cap]
+    return jnp.pad(pf_t, ((0, 0), (0, cs.lanes - cs.p_cap)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _render_core(fmat, order, sorted_key, cand_keys, starts_c, counts,
+                 tileid, cs: _CoreStatics, tile_shard):
+    """Batched: fmat [B,N,16], order [B,N], sorted_key [B,P], cand_keys
+    [B,N,R], starts_c [B,T] (lane offsets, clamped), counts [B,T],
+    tileid [B*T] -> acc [B*T, PIX, 8]."""
+    b = fmat.shape[0]
+    pair_t = jax.vmap(
+        lambda f, o, k: _build_pair_t(f, o, k, cs)
+    )(fmat, order, sorted_key)  # [B, 16, lanes]
+    pair_flat = jnp.transpose(pair_t, (1, 0, 2)).reshape(_NF, b * cs.lanes)
+    lane_base = (jnp.arange(b, dtype=jnp.int32) * cs.lanes)[:, None]
+    starts_flat = (starts_c + lane_base).reshape(-1)
+    counts_flat = counts.reshape(-1)
+    return _shard_call(
+        lambda pf, c, st, ti: _fwd_call(pf, c, st, ti, cs.s),
+        (pair_flat, counts_flat, starts_flat, tileid),
+        tile_shard,
+    )
+
+
+def _render_core_fwd(fmat, order, sorted_key, cand_keys, starts_c, counts,
+                     tileid, cs, tile_shard):
+    out = _render_core(fmat, order, sorted_key, cand_keys, starts_c, counts,
+                       tileid, cs, tile_shard)
+    return out, (fmat, order, sorted_key, cand_keys, starts_c, counts,
+                 tileid, out)
+
+
+def _render_core_bwd(cs: _CoreStatics, tile_shard, res, g_out):
+    (fmat, order, sorted_key, cand_keys, starts_c, counts, tileid,
+     out) = res
+    b, n = order.shape
+    # rebuild the forward's pair array (recompute beats storing it)
+    pair_t = jax.vmap(
+        lambda f, o, k: _build_pair_t(f, o, k, cs)
+    )(fmat, order, sorted_key)
+    pair_flat = jnp.transpose(pair_t, (1, 0, 2)).reshape(_NF, b * cs.lanes)
+    lane_base = (jnp.arange(b, dtype=jnp.int32) * cs.lanes)[:, None]
+    starts_flat = (starts_c + lane_base).reshape(-1)
+    counts_flat = counts.reshape(-1)
+    t_local = jnp.tile(
+        jnp.arange(cs.num_tiles, dtype=jnp.int32), b
+    )
+    page_base = (jnp.arange(b, dtype=jnp.int32) * cs.c_cap)[:, None]
+    pagestart = (
+        (starts_c >> 7) + jnp.arange(cs.num_tiles, dtype=jnp.int32)[None, :]
+        + page_base
+    ).reshape(-1)
+
+    # S = sum_j w_j phi_j + g_logT, phi from the 5 live output channels
+    phi_tot = jnp.sum(
+        out[:, :, 0:5] * g_out[:, :, 0:5], axis=-1, keepdims=True
+    )
+    svec = phi_tot + g_out[:, :, 5:6]
+    gvec = jnp.concatenate(
+        [g_out[:, :, 0:5], svec, jnp.zeros_like(svec), jnp.zeros_like(svec)],
+        axis=-1,
+    )
+
+    dpaged = _shard_call(
+        lambda pf, c, st, ti, ps, gv: _bwd_call(
+            pf, c, st, ti, ps, gv, b * cs.c_cap, cs.s
+        ),
+        (pair_flat, counts_flat, starts_flat, t_local, pagestart, gvec),
+        tile_shard,
+        psum_out=True,
+    )
+    # [C*16, 128] pages -> pair-major rows [C*128, 16]
+    dpair_rows = (
+        dpaged.reshape(b * cs.c_cap, _NF, 128)
+        .transpose(0, 2, 1)
+        .reshape(b * cs.c_cap * 128, _NF)
+    )
+
+    def per_camera(sk, ck, dof, ordr):
+        pos2 = _pos2_candidate_order(
+            sk, ck, cs.p_cap, cs.c_cap, cs.k_cap, cs.rank_bits,
+            cs.num_tiles,
+        )
+        dpr = dof[pos2]  # [P, 16]
+        r = ck.size // n
+        dsorted = jnp.sum(dpr.reshape(n, r, _NF), axis=1)
+        iota_n = jnp.arange(n, dtype=jnp.int32)
+        _, inv_order = jax.lax.sort((ordr, iota_n), num_keys=1)
+        return dsorted[inv_order]
+
+    cam_rows = dpair_rows.reshape(b, cs.c_cap * 128, _NF)
+    dfmat = jax.vmap(per_camera)(sorted_key, cand_keys, cam_rows, order)
+    return dfmat, None, None, None, None, None, None
+
+
+_render_core.defvjp(_render_core_fwd, _render_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
 
 
 def _feature_matrix(prims):
@@ -571,41 +698,6 @@ def _resolve_pair_capacity(n: int, r: int, cfg: RasterizeConfig,
     return -(-pair_capacity // 128) * 128
 
 
-def _pair_stage(means, scales, quats, features, opacities, alive, camera,
-                background, sh_degree, cfg, scale_modifier, means2d_offset,
-                tile_capacity, p_cap):
-    """Projection + binning + pair compaction for one camera."""
-    h, w = camera.height, camera.width
-    tiles_x, tiles_y = w // cfg.tile, h // cfg.tile
-    prims = project_gaussians(
-        means, scales, quats, features, opacities, alive, camera,
-        sh_degree, cfg, scale_modifier, means2d_offset,
-    )
-    pairs = build_pair_lists(
-        prims, tiles_x, tiles_y, tile_capacity, cfg, pair_capacity=p_cap
-    )
-    fmat = _feature_matrix(prims)
-    pair_feats = pair_gather(
-        fmat, pairs.order, pairs.sorted_key, pairs.cand_keys, p_cap,
-        pairs.rank_bits,
-    )
-    starts_c = jnp.minimum(pairs.starts[:-1], p_cap)
-    return prims, pair_feats, pairs.counts, starts_c, pairs.overflow
-
-
-def _assemble(acc, background, s: CompositeStatics, h, w):
-    """[T, 8, PIX] accumulators -> image/depth/alpha dict entries."""
-    acc_img = acc.reshape(s.tiles_y, s.tiles_x, 8, s.tile, s.tile)
-    acc_img = acc_img.transpose(0, 3, 1, 4, 2).reshape(h, w, 8)
-    t_fin = jnp.exp(acc_img[..., 5])
-    image = acc_img[..., 0:3] + t_fin[..., None] * background[None, None, :]
-    return {
-        "image": image,
-        "depth": acc_img[..., 3],
-        "alpha": 1.0 - t_fin,
-    }
-
-
 def _make_statics(h, w, cfg: RasterizeConfig, interpret):
     tile = cfg.tile
     if h % tile or w % tile:
@@ -625,31 +717,91 @@ def _make_statics(h, w, cfg: RasterizeConfig, interpret):
     )
 
 
-def _composite_maybe_sharded(pair_feats, counts, starts, tileid, s,
-                             tile_shard):
-    if tile_shard is None:
-        return composite_tiles(pair_feats, counts, starts, tileid, s)
-    from jax.experimental.shard_map import shard_map
-    from jax.sharding import PartitionSpec as _P
+def _core_statics(n, h, w, cfg, tile_capacity, pair_capacity, interpret):
+    s = _make_statics(h, w, cfg, interpret)
+    if tile_capacity % 128:
+        raise ValueError("tile_capacity must be a multiple of 128")
+    p_cap = _resolve_pair_capacity(n, cfg.rect_side**2, cfg, pair_capacity)
+    num_tiles = s.tiles_x * s.tiles_y
+    lanes = -(-(p_cap + 2 * _WIN) // 128) * 128
+    c_cap = p_cap // 128 + num_tiles + 2  # +guard pages (incl. zero row)
+    return _CoreStatics(
+        s=s, p_cap=p_cap, lanes=lanes, c_cap=c_cap, k_cap=tile_capacity,
+        rank_bits=max((n - 1).bit_length(), 1), num_tiles=num_tiles,
+    )
 
-    mesh, axis = tile_shard
-    n_shards = mesh.shape[axis]
-    if counts.shape[0] % n_shards:
-        raise ValueError(
-            f"{counts.shape[0]} grid steps not divisible by {n_shards}"
-        )
 
-    def comp(pair_l, counts_l, starts_l, tileid_l):
-        return composite_tiles(pair_l, counts_l, starts_l, tileid_l, s)
+def _assemble(acc, background, s: CompositeStatics, h, w):
+    """[T, PIX, 8] accumulators -> image/depth/alpha dict entries."""
+    acc_img = acc.reshape(s.tiles_y, s.tiles_x, s.tile, s.tile, 8)
+    acc_img = acc_img.transpose(0, 2, 1, 3, 4).reshape(h, w, 8)
+    t_fin = jnp.exp(acc_img[..., 5])
+    image = acc_img[..., 0:3] + t_fin[..., None] * background[None, None, :]
+    return {
+        "image": image,
+        "depth": acc_img[..., 3],
+        "alpha": 1.0 - t_fin,
+    }
 
-    # pair rows replicated (starts are absolute rows); grid axis sharded.
-    # shard_map's transpose psums the replicated pair-row cotangent.
-    return shard_map(
-        comp, mesh=mesh,
-        in_specs=(_P(None), _P(axis), _P(axis), _P(axis)),
-        out_specs=_P(axis),
-        check_rep=False,
-    )(pair_feats, counts, starts, tileid)
+
+def _bin_one(means, scales, quats, features, opacities, alive, camera,
+             sh_degree, cfg, scale_modifier, means2d_offset,
+             cs: _CoreStatics):
+    prims = project_gaussians(
+        means, scales, quats, features, opacities, alive, camera,
+        sh_degree, cfg, scale_modifier, means2d_offset,
+    )
+    pairs = build_pair_lists(
+        prims, cs.s.tiles_x, cs.s.tiles_y, cs.k_cap, cfg,
+        pair_capacity=cs.p_cap,
+    )
+    fmat = _feature_matrix(prims)
+    starts_c = jnp.minimum(pairs.starts[:-1], cs.p_cap)
+    return (prims, fmat, pairs.order, pairs.sorted_key, pairs.cand_keys,
+            starts_c, pairs.counts, pairs.overflow)
+
+
+def _finish(acc_b, prims_b, overflow, background, cs, h, w, batched):
+    b = acc_b.shape[0]
+    out = jax.vmap(lambda a: _assemble(a, background, cs.s, h, w))(acc_b)
+    if not batched:
+        out = jax.tree.map(lambda x: x[0], out)
+        radii, visible = prims_b.radii[0], prims_b.visible[0]
+    else:
+        radii, visible = prims_b.radii, prims_b.visible
+    out.update(radii=radii, visible=visible, overflow=jnp.sum(overflow))
+    return out
+
+
+def _rasterize_impl(means, scales, quats, features, opacities, alive,
+                    cameras, background, sh_degree, cfg, scale_modifier,
+                    means2d_offset, tile_capacity, pair_capacity, interpret,
+                    tile_shard, batched):
+    h, w = cameras.height, cameras.width
+    n = means.shape[0]
+    cs = _core_statics(n, h, w, cfg, tile_capacity, pair_capacity, interpret)
+
+    def bin_cam(cam):
+        return _bin_one(means, scales, quats, features, opacities, alive,
+                        cam, sh_degree, cfg, scale_modifier, means2d_offset,
+                        cs)
+
+    if batched:
+        (prims_b, fmat_b, order_b, skey_b, ckey_b, starts_b, counts_b,
+         ovf_b) = jax.vmap(bin_cam)(cameras)
+    else:
+        outs = bin_cam(cameras)
+        (prims_b, fmat_b, order_b, skey_b, ckey_b, starts_b, counts_b,
+         ovf_b) = jax.tree.map(lambda x: x[None], outs)
+
+    b = fmat_b.shape[0]
+    tileid = jnp.tile(jnp.arange(cs.num_tiles, dtype=jnp.int32), b)
+    acc = _render_core(
+        fmat_b, order_b, skey_b, ckey_b, starts_b, counts_b, tileid, cs,
+        tile_shard,
+    )
+    acc_b = acc.reshape(b, cs.num_tiles, cs.s.pix, 8)
+    return _finish(acc_b, prims_b, ovf_b, background, cs, h, w, batched)
 
 
 def rasterize_tiled(
@@ -680,26 +832,11 @@ def rasterize_tiled(
     rays"): projection/binning are replicated (cheap), each chip
     composites its contiguous tile range against the shared pair array,
     and the image shards concatenate along the tile axis."""
-    h, w = camera.height, camera.width
-    if tile_capacity % 128:
-        raise ValueError("tile_capacity must be a multiple of 128")
-    s = _make_statics(h, w, cfg, interpret)
-    n = means.shape[0]
-    p_cap = _resolve_pair_capacity(n, cfg.rect_side**2, cfg, pair_capacity)
-
-    prims, pair_feats, counts, starts_c, overflow = _pair_stage(
+    return _rasterize_impl(
         means, scales, quats, features, opacities, alive, camera,
         background, sh_degree, cfg, scale_modifier, means2d_offset,
-        tile_capacity, p_cap,
+        tile_capacity, pair_capacity, interpret, tile_shard, batched=False,
     )
-    num_tiles = s.tiles_x * s.tiles_y
-    tileid = jnp.arange(num_tiles, dtype=jnp.int32)
-    acc = _composite_maybe_sharded(
-        pair_feats, counts, starts_c, tileid, s, tile_shard
-    )
-    out = _assemble(acc, background, s, h, w)
-    out.update(radii=prims.radii, visible=prims.visible, overflow=overflow)
-    return out
 
 
 def rasterize_tiled_batch(
@@ -727,39 +864,8 @@ def rasterize_tiled_batch(
     vmapped and the compositing kernel runs ONE flattened grid of
     B x tiles programs — a single kernel launch per training step, which
     is also what lets the tile axis shard cleanly across chips."""
-    some_h = cameras.height
-    some_w = cameras.width
-    s = _make_statics(some_h, some_w, cfg, interpret)
-    if tile_capacity % 128:
-        raise ValueError("tile_capacity must be a multiple of 128")
-    n = means.shape[0]
-    p_cap = _resolve_pair_capacity(n, cfg.rect_side**2, cfg, pair_capacity)
-
-    def stage(cam):
-        return _pair_stage(
-            means, scales, quats, features, opacities, alive, cam,
-            background, sh_degree, cfg, scale_modifier, means2d_offset,
-            tile_capacity, p_cap,
-        )
-
-    prims_b, pair_b, counts_b, starts_b, overflow_b = jax.vmap(stage)(cameras)
-    b = counts_b.shape[0]
-    rows = p_cap + _GUARD
-    num_tiles = s.tiles_x * s.tiles_y
-    pair_flat = pair_b.reshape(b * rows, _NF)
-    starts_flat = (
-        starts_b + (jnp.arange(b, dtype=jnp.int32) * rows)[:, None]
-    ).reshape(-1)
-    counts_flat = counts_b.reshape(-1)
-    tileid = jnp.tile(jnp.arange(num_tiles, dtype=jnp.int32), b)
-    acc = _composite_maybe_sharded(
-        pair_flat, counts_flat, starts_flat, tileid, s, tile_shard
+    return _rasterize_impl(
+        means, scales, quats, features, opacities, alive, cameras,
+        background, sh_degree, cfg, scale_modifier, means2d_offset,
+        tile_capacity, pair_capacity, interpret, tile_shard, batched=True,
     )
-    acc = acc.reshape(b, num_tiles, 8, s.pix)
-    out = jax.vmap(lambda a: _assemble(a, background, s, some_h, some_w))(acc)
-    out.update(
-        radii=prims_b.radii,
-        visible=prims_b.visible,
-        overflow=jnp.sum(overflow_b),
-    )
-    return out

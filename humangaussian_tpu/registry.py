@@ -52,8 +52,13 @@ def _register_builtins():
     from humangaussian_tpu.train.photo import PhotoTrainer
     from humangaussian_tpu.train.system import GaussianDreamerSystem
 
+    from humangaussian_tpu.guidance.stable_diffusion import (
+        StableDiffusionGuidance,
+    )
+
     _REGISTRY.setdefault("gaussiandreamer-system", GaussianDreamerSystem)
     _REGISTRY.setdefault("dual-branch-guidance", DualBranchGuidance)
+    _REGISTRY.setdefault("stable-diffusion-guidance", StableDiffusionGuidance)
     _REGISTRY.setdefault(
         "texture-structure-prompt-processor", PromptProcessor
     )

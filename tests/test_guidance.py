@@ -455,6 +455,50 @@ def _tiny_vae_torch_state_dict(ref_params):
     return sd
 
 
+class TestSDSMode:
+    def test_sds_mode_matches_reference_formula(self):
+        """mode="sds" must follow compute_grad_sds exactly: 2-way
+        [cond|neg] batch (dual_branch_guidance.py:508-509) and the
+        text-as-base CFG `e_text + s*(e_text - e_uncond)` (:543-545)."""
+        import dataclasses
+
+        g = make_guidance()
+        g = dataclasses.replace(
+            g, cfg=dataclasses.replace(g.cfg, mode="sds",
+                                       grad_clip_pixel=False)
+        )
+        rng = jax.random.PRNGKey(7)
+        text = jax.random.normal(jax.random.PRNGKey(8), (3, 7, 32))
+        key_lat = jax.random.PRNGKey(9)
+        lat = jax.random.normal(key_lat, (1, 8, 8, 4)) * 0.3
+        dlat = lat * 0.5
+        wlat = lat * 0.1
+        t = jnp.array([400])
+
+        grad = g.compute_grad(lat, dlat, wlat, t, text, rng)
+
+        # independent re-computation of the reference formula
+        k_noise, k_dnoise = jax.random.split(rng)
+        noise = jax.random.normal(k_noise, lat.shape, jnp.float32)
+        dnoise = jax.random.normal(k_dnoise, dlat.shape, jnp.float32)
+        lat_noisy = g.schedule.add_noise(lat, noise, t)
+        d_noisy = g.schedule.add_noise(dlat, dnoise, t)
+        lat_in = jnp.concatenate(
+            [jnp.tile(lat_noisy, (2, 1, 1, 1)),
+             jnp.tile(wlat, (2, 1, 1, 1))], axis=-1)
+        dep_in = jnp.concatenate(
+            [jnp.tile(d_noisy, (2, 1, 1, 1)),
+             jnp.tile(wlat, (2, 1, 1, 1))], axis=-1)
+        pred = g._unet_eps(lat_in, dep_in, jnp.tile(t, (2,)), text[:2])
+        e_text, e_uncond = jnp.split(pred, 2, axis=0)
+        noise_pred = e_text + g.cfg.guidance_scale * (e_text - e_uncond)
+        w = g.schedule.sds_weight(t, g.cfg.weighting_strategy)
+        expected = w.reshape(1, 1, 1, 1) * (
+            noise_pred - jnp.concatenate([noise, dnoise], axis=-1))
+        np.testing.assert_allclose(
+            np.asarray(grad), np.asarray(expected), atol=1e-6)
+
+
 class TestSJCAndEval:
     def test_sjc_grad_finite(self):
         g = make_guidance()

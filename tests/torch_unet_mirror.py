@@ -270,6 +270,68 @@ class MidBlock(nn.Module):
         return self.resnets[1](x, temb)
 
 
+class TorchSingleUNet(nn.Module):
+    """Plain diffusers UNet2DConditionModel mirror (no branch, no size
+    conditioning) — torch side of the SingleUNet parity test."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        self.cfg = cfg
+        chs = list(cfg.block_out_channels)
+        n = len(chs)
+        temb_dim = cfg.time_embed_dim
+        g = cfg.norm_num_groups
+        ulp = cfg.use_linear_projection
+        self.conv_in = nn.Conv2d(cfg.in_channels, chs[0], 3, padding=1)
+        self.time_embedding = TimestepEmbedding(chs[0], temb_dim)
+        self.down_blocks = nn.ModuleList([
+            DownBlock(chs[max(i - 1, 0)], chs[i], temb_dim,
+                      cfg.layers_per_block, cfg.down_block_has_attn[i],
+                      cfg.attn_heads[i], cfg.cross_attention_dim, g,
+                      add_downsample=i < n - 1, use_linear_projection=ulp)
+            for i in range(n)
+        ])
+        self.mid_block = MidBlock(chs[-1], temb_dim, cfg.attn_heads[-1],
+                                  cfg.cross_attention_dim, g, ulp)
+        rev = list(reversed(chs))
+        rev_attn = list(reversed(cfg.down_block_has_attn))
+        rev_heads = list(reversed(cfg.attn_heads))
+        skips = [chs[0]]
+        for i in range(n):
+            skips += [chs[i]] * cfg.layers_per_block
+            if i < n - 1:
+                skips.append(chs[i])
+        ups = []
+        for i in range(n):
+            take = cfg.layers_per_block + 1
+            skip_chs = list(reversed(skips[-take:]))
+            skips = skips[:-take]
+            prev = rev[max(i - 1, 0)]
+            ups.append(UpBlock(prev, skip_chs, rev[i], temb_dim,
+                               rev_attn[i], rev_heads[i],
+                               cfg.cross_attention_dim, g,
+                               add_upsample=i < n - 1,
+                               use_linear_projection=ulp))
+        self.up_blocks = nn.ModuleList(ups)
+        self.conv_norm_out = nn.GroupNorm(g, chs[0], eps=1e-5)
+        self.conv_out = nn.Conv2d(chs[0], cfg.out_channels, 3, padding=1)
+
+    def forward(self, sample, timesteps, context):
+        cfg = self.cfg
+        emb = self.time_embedding(
+            timesteps_proj(timesteps, cfg.block_out_channels[0])
+        )
+        h = self.conv_in(sample)
+        res = [h]
+        for blk in self.down_blocks:
+            h, rs = blk(h, emb, context)
+            res += rs
+        h = self.mid_block(h, emb, context)
+        for blk in self.up_blocks:
+            h = blk(h, res, emb, context)
+        return self.conv_out(F.silu(self.conv_norm_out(h)))
+
+
 class TorchDualBranchUNet(nn.Module):
     """Mirror of the reference modified UNet2DConditionModel at any
     humangaussian_tpu UNetConfig scale. State-dict keys match diffusers
