@@ -1,0 +1,52 @@
+"""Backgrounds (per-ray colors behind the volume), flax.
+
+Ports of /root/reference/threestudio/models/background/:
+- solid_color_background.py: fixed or learned constant color, optional
+  random augmentation during training;
+- neural_environment_map_background.py: frequency-encoded view
+  directions -> MLP -> color.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from humangaussian_tpu.nerf.encoding import FrequencyEncoding
+from humangaussian_tpu.nerf.geometry import VanillaMLP
+
+
+class SolidColorBackground(nn.Module):
+    """solid-color-background: color [3], optionally learned
+    (solid_color_background.py)."""
+
+    color: tuple = (1.0, 1.0, 1.0)
+    learned: bool = False
+
+    @nn.compact
+    def __call__(self, dirs):
+        c = jnp.asarray(self.color, jnp.float32)
+        if self.learned:
+            c = self.param("env_color", lambda _: c)
+        return jnp.broadcast_to(c, dirs.shape[:-1] + (3,))
+
+
+class NeuralEnvironmentMapBackground(nn.Module):
+    """neural-environment-map-background: dir -> freq encoding -> MLP ->
+    sigmoid color (neural_environment_map_background.py)."""
+
+    color_activation: str = "sigmoid"
+    n_frequencies: int = 10
+    n_neurons: int = 16
+    n_hidden_layers: int = 2
+
+    @nn.compact
+    def __call__(self, dirs):
+        d = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-8)
+        enc = FrequencyEncoding(self.n_frequencies)(d)
+        rgb = VanillaMLP(3, self.n_neurons, self.n_hidden_layers)(enc)
+        if self.color_activation == "sigmoid":
+            return jax.nn.sigmoid(rgb)
+        return jnp.clip(rgb, 0.0, 1.0)

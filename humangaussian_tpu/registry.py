@@ -65,3 +65,25 @@ def _register_builtins():
     _REGISTRY.setdefault("stable-diffusion-prompt-processor", PromptProcessor)
     _REGISTRY.setdefault("random-camera-datamodule", RandomCameraConfig)
     _REGISTRY.setdefault("photo-3dgs-trainer", PhotoTrainer)
+
+    from humangaussian_tpu.nerf import (
+        DiffuseWithPointLightMaterial,
+        ImplicitVolume,
+        NerfVolumeRenderer,
+        NeuralEnvironmentMapBackground,
+        NoMaterial,
+        SolidColorBackground,
+    )
+    from humangaussian_tpu.nerf.system import DreamFusionSystem
+
+    _REGISTRY.setdefault("implicit-volume", ImplicitVolume)
+    _REGISTRY.setdefault("nerf-volume-renderer", NerfVolumeRenderer)
+    _REGISTRY.setdefault("solid-color-background", SolidColorBackground)
+    _REGISTRY.setdefault(
+        "neural-environment-map-background", NeuralEnvironmentMapBackground
+    )
+    _REGISTRY.setdefault("no-material", NoMaterial)
+    _REGISTRY.setdefault(
+        "diffuse-with-point-light-material", DiffuseWithPointLightMaterial
+    )
+    _REGISTRY.setdefault("dreamfusion-system", DreamFusionSystem)
