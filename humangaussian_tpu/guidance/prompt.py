@@ -194,6 +194,9 @@ class PromptProcessorConfig:
     front_threshold: float = 45.0
     back_threshold: float = 45.0
     view_dependent_prompt_front: bool = False
+    use_prompt_debiasing: bool = False
+    prompt_debiasing_model_path: str = "bert-base-uncased"
+    prompt_debiasing_mask_ids: tuple | None = None
     cache_dir: str = ".humangaussian_cache/text_embeddings"
     prompt_library_path: str = ""  # JSON for "lib:" prompts
     use_cache: bool = True
@@ -220,6 +223,57 @@ def resolve_library_prompt(prompt: str, library_path: str) -> str:
     if not candidates:
         raise ValueError(f"no library prompt matches {prompt!r}")
     return candidates[0]
+
+
+def get_debiased_prompts(
+    prompt: str,
+    view_names: list[str],
+    model_path: str,
+    mask_ids: list[int] | None = None,
+) -> list[str]:
+    """BERT-masked-LM prompt debiasing (prompt_processors/base.py:449-507):
+    for each word, compare the view-word distribution p([MASK] view of
+    <prompt>) with and without that word; words whose pointwise mutual
+    information with a view falls below 0.95 are dropped from that
+    view's prompt. Host-side torch, like the CLIP encoder."""
+    import torch
+    import torch.nn.functional as F
+    from transformers import AutoTokenizer, BertForMaskedLM
+
+    os.environ["TOKENIZERS_PARALLELISM"] = "false"
+    tokenizer = AutoTokenizer.from_pretrained(model_path)
+    model = BertForMaskedLM.from_pretrained(model_path)
+    model.eval()
+
+    view_ids = tokenizer(" ".join(view_names), return_tensors="pt").input_ids[0]
+    view_ids = view_ids[1 : 1 + len(view_names)]
+
+    @torch.no_grad()
+    def modulate(p: str) -> torch.Tensor:
+        prompt_vd = f"This image is depicting a [MASK] view of {p}"
+        tokens = tokenizer(
+            prompt_vd, padding="max_length", truncation=True,
+            add_special_tokens=True, return_tensors="pt",
+        )
+        mask_idx = torch.where(
+            tokens.input_ids == tokenizer.mask_token_id
+        )[1]
+        logits = model(**tokens).logits
+        probs = F.softmax(logits[0, mask_idx], dim=-1)[0, view_ids]
+        return probs / probs.sum()
+
+    words = prompt.split(" ")
+    prompts = [list(words) for _ in view_names]
+    full_probe = modulate(prompt)
+    ids = mask_ids if mask_ids is not None else list(range(len(words)))
+    for idx in ids:
+        partial = " ".join(words[:idx] + words[idx + 1 :])
+        part_probe = modulate(partial)
+        pmi = full_probe / torch.lerp(part_probe, full_probe, 0.5)
+        for i in range(pmi.shape[0]):
+            if pmi[i].item() < 0.95:
+                prompts[i][idx] = ""
+    return [" ".join(w for w in p if w) for p in prompts]
 
 
 def hf_clip_encode_fn(model_path: str) -> Callable[[list[str]], np.ndarray]:
@@ -298,7 +352,19 @@ class PromptProcessor:
         return np.stack(out)  # type: ignore[arg-type]
 
     def __call__(self) -> PromptEmbeddings:
-        vd_prompts = [d.prompt(self.prompt) for d in self.directions]
+        if self.cfg.use_prompt_debiasing:
+            debiased = get_debiased_prompts(
+                self.prompt,
+                [d.name for d in self.directions],
+                self.cfg.prompt_debiasing_model_path,
+                list(self.cfg.prompt_debiasing_mask_ids)
+                if self.cfg.prompt_debiasing_mask_ids is not None else None,
+            )
+            vd_prompts = [
+                d.prompt(p) for d, p in zip(self.directions, debiased)
+            ]
+        else:
+            vd_prompts = [d.prompt(self.prompt) for d in self.directions]
         vd_neg = [d.negative_prompt(self.negative_prompt) for d in self.directions]
         all_prompts = (
             [self.prompt, self.negative_prompt, ""] + vd_prompts + vd_neg
