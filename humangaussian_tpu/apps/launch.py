@@ -192,11 +192,34 @@ def main(argv=None):
         print(f"resumed from {args.resume} at step {int(state.step)}")
 
     if args.train:
+        # logger set mirrors the reference trainer (launch.py:148-157):
+        # TensorBoard + CSV always, wandb opt-in via trainer.wandb
+        from humangaussian_tpu.utils.loggers import (
+            CSVLogger,
+            MultiLogger,
+            TensorBoardLogger,
+        )
+
+        loggers = [
+            TensorBoardLogger(os.path.join(dirs["trial"], "tb_logs")),
+            CSVLogger(os.path.join(dirs["trial"], "csv_logs", "metrics.csv")),
+        ]
+        if cfg.get("trainer", {}).get("wandb", False):
+            from humangaussian_tpu.utils.loggers import WandbLogger
+
+            loggers.append(WandbLogger(
+                project=cfg.get("trainer", {}).get(
+                    "wandb_project", "humangaussian-tpu"
+                ),
+                name=exp.tag or exp.name,
+                config=dict(cfg),
+            ))
         state, _hist = run_training(
             system, state,
             max_steps=int(cfg.get("trainer", {}).get("max_steps", 3600)),
             val_interval=int(cfg.get("trainer", {}).get("val_check_interval", 100)),
             save_dir=dirs["save"],
+            logger=MultiLogger(loggers),
         )
     if args.test or args.train:
         finalize(system, state, dirs["save"])

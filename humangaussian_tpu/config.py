@@ -115,8 +115,9 @@ class ExperimentConfig:
     def make_dirs(self) -> dict:
         dirs = {
             sub: os.path.join(self.trial_dir, sub)
-            for sub in ("ckpts", "save", "configs")
+            for sub in ("ckpts", "save", "configs", "tb_logs", "csv_logs")
         }
         for d in dirs.values():
             os.makedirs(d, exist_ok=True)
+        dirs["trial"] = self.trial_dir
         return dirs

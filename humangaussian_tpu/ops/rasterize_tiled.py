@@ -594,21 +594,29 @@ def _render_core(fmat, order, sorted_key, cand_keys, starts_c, counts,
 
 def _render_core_fwd(fmat, order, sorted_key, cand_keys, starts_c, counts,
                      tileid, cs, tile_shard):
-    out = _render_core(fmat, order, sorted_key, cand_keys, starts_c, counts,
-                       tileid, cs, tile_shard)
-    return out, (fmat, order, sorted_key, cand_keys, starts_c, counts,
-                 tileid, out)
-
-
-def _render_core_bwd(cs: _CoreStatics, tile_shard, res, g_out):
-    (fmat, order, sorted_key, cand_keys, starts_c, counts, tileid,
-     out) = res
-    b, n = order.shape
-    # rebuild the forward's pair array (recompute beats storing it)
+    b = fmat.shape[0]
     pair_t = jax.vmap(
         lambda f, o, k: _build_pair_t(f, o, k, cs)
     )(fmat, order, sorted_key)
     pair_flat = jnp.transpose(pair_t, (1, 0, 2)).reshape(_NF, b * cs.lanes)
+    lane_base = (jnp.arange(b, dtype=jnp.int32) * cs.lanes)[:, None]
+    starts_flat = (starts_c + lane_base).reshape(-1)
+    counts_flat = counts.reshape(-1)
+    out = _shard_call(
+        lambda pf, c, st, ti: _fwd_call(pf, c, st, ti, cs.s),
+        (pair_flat, counts_flat, starts_flat, tileid),
+        tile_shard,
+    )
+    # keep the compacted pair array as a residual: rebuilding it in the
+    # backward costs a second [P_cap] gather + transpose
+    return out, (pair_flat, order, sorted_key, cand_keys, starts_c, counts,
+                 tileid, out)
+
+
+def _render_core_bwd(cs: _CoreStatics, tile_shard, res, g_out):
+    (pair_flat, order, sorted_key, cand_keys, starts_c, counts, tileid,
+     out) = res
+    b, n = order.shape
     lane_base = (jnp.arange(b, dtype=jnp.int32) * cs.lanes)[:, None]
     starts_flat = (starts_c + lane_base).reshape(-1)
     counts_flat = counts.reshape(-1)

@@ -59,6 +59,7 @@ def run_training(
     log_every: int = 10,
     log_fn=print,
     guidance_eval_interval: int = 0,  # 0 = off (ref hard-codes it off)
+    logger=None,  # utils.loggers.MultiLogger (TB/CSV/wandb fan-out)
 ):
     """Train to max_steps. Returns (state, metrics_history)."""
     cfg = system.cfg
@@ -87,6 +88,8 @@ def run_training(
                     n_dropped=int(dens_info.n_dropped),
                 )
             history.append(row)
+            if logger is not None:
+                logger.log_scalars(step, row)
             log_fn(
                 f"step {step}: loss={row['loss']:.4f} "
                 f"alive={int(row['n_alive'])} "
@@ -100,6 +103,10 @@ def run_training(
                 os.path.join(save_dir, f"it{step}-val.png"),
                 np.asarray(out["image"]),
             )
+            if logger is not None:
+                logger.log_image(
+                    step, "val/render", np.asarray(out["image"][0])
+                )
         if (
             save_dir and guidance_eval_interval
             and step % guidance_eval_interval == 0
@@ -126,6 +133,8 @@ def run_training(
     if save_dir:
         finalize(system, state, save_dir)
         save_metrics_csv(os.path.join(save_dir, "metrics.csv"), history)
+    if logger is not None:
+        logger.close()
     return state, history
 
 
