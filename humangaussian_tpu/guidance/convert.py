@@ -150,6 +150,8 @@ def convert_unet_state_dict(
             "conv_in.bias": ("conv_in", "bias"),
             "conv_in_branch.0.weight": ("conv_in_branch", "kernel"),
             "conv_in_branch.0.bias": ("conv_in_branch", "bias"),
+            "fusion_conv.weight": ("fusion_conv", "kernel"),
+            "fusion_conv.bias": ("fusion_conv", "bias"),
             "conv_norm_out.weight": ("head", "conv_norm_out", "scale"),
             "conv_norm_out.bias": ("head", "conv_norm_out", "bias"),
             "conv_out.weight": ("head", "conv_out", "kernel"),

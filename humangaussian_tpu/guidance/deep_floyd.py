@@ -1,0 +1,177 @@
+"""DeepFloyd IF guidance: pixel-space SDS (no VAE).
+
+TPU re-implementation of
+/root/reference/threestudio/models/guidance/deep_floyd_guidance.py:
+the IF-I stage-1 model scores 64x64 PIXEL images directly — rgb is
+mapped to [-1, 1] and bilinearly resized to 64^2 (:158-172), the UNet
+outputs 6 channels whose first 3 are the epsilon prediction (the other
+3 the learned variance, split and discarded for SDS, :210-213), CFG uses
+the reference's text-as-base quirk, and the scheduler is the IF DDPM
+cosine (squaredcos_cap_v2) schedule. Text conditioning comes from T5
+embeddings projected by `encoder_hid_proj` inside the UNet
+(UNetConfig.encoder_hid_dim=4096 for the real model).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from humangaussian_tpu.guidance.dual_branch import per_sample_normal
+from humangaussian_tpu.guidance.prompt import (
+    PromptEmbeddings,
+    get_text_embeddings_perp_neg,
+    perpendicular_component,
+)
+from humangaussian_tpu.guidance.schedule import DiffusionSchedule
+from humangaussian_tpu.guidance.unet import SingleUNet, UNetConfig
+
+
+def if_schedule(num_train_timesteps: int = 1000) -> DiffusionSchedule:
+    """DeepFloyd IF DDPMScheduler: cosine betas, epsilon prediction."""
+    return DiffusionSchedule.create(
+        num_train_timesteps=num_train_timesteps,
+        beta_schedule="squaredcos_cap_v2",
+        rescale_betas_zero_snr=False,
+        prediction_type="epsilon",
+    )
+
+
+# the real IF-I-XL configuration (UNet2DConditionModel of DeepFloyd/IF-I-XL-v1.0)
+IF_I_XL_CONFIG = UNetConfig(
+    in_channels=3,
+    out_channels=6,
+    block_out_channels=(704, 1408, 2816, 2816),
+    layers_per_block=3,
+    cross_attention_dim=2816,
+    encoder_hid_dim=4096,
+    attn_heads=(11, 22, 44, 44),
+    down_block_has_attn=(True, True, True, True),
+)
+
+TINY_IF_CONFIG = UNetConfig(
+    in_channels=3,
+    out_channels=6,
+    block_out_channels=(32, 64),
+    layers_per_block=1,
+    cross_attention_dim=32,
+    encoder_hid_dim=48,
+    attn_heads=(2, 2),
+    down_block_has_attn=(True, True),
+    norm_num_groups=8,
+    dtype=jnp.float32,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DeepFloydConfig:
+    """Mirrors the used fields of deep_floyd_guidance.py Config."""
+
+    guidance_scale: float = 20.0
+    weighting_strategy: str = "sds"
+    view_dependent_prompting: bool = True
+    use_perp_neg: bool = False
+    image_size: int = 64
+
+
+@flax.struct.dataclass
+class DeepFloydGuidance:
+    unet: Any = flax.struct.field(pytree_node=False)  # SingleUNet
+    unet_params: Any = None
+    schedule: DiffusionSchedule = None
+    cfg: DeepFloydConfig = flax.struct.field(
+        pytree_node=False, default=DeepFloydConfig()
+    )
+
+    def _unet_eps(self, x, t_in, text):
+        """[K*B,64,64,3] -> eps [K*B,64,64,3] (variance half dropped)."""
+        out = self.unet.apply(self.unet_params, x, t_in, text)
+        return out[..., :3]
+
+    def compute_grad_sds(self, latents, t, text2, noise):
+        b = latents.shape[0]
+        noisy = self.schedule.add_noise(latents, noise, t)
+        pred = self._unet_eps(
+            jnp.tile(noisy, (2, 1, 1, 1)), jnp.tile(t, (2,)), text2
+        )
+        e_text, e_uncond = jnp.split(pred, 2, axis=0)
+        # text-as-base CFG (deep_floyd_guidance.py:213-216)
+        noise_pred = e_text + self.cfg.guidance_scale * (e_text - e_uncond)
+        w = self.schedule.sds_weight(t, self.cfg.weighting_strategy)
+        return w.reshape(b, 1, 1, 1) * (noise_pred - noise)
+
+    def compute_grad_sds_perp_neg(self, latents, t, text4, neg_weights,
+                                  noise):
+        b = latents.shape[0]
+        noisy = self.schedule.add_noise(latents, noise, t)
+        pred = self._unet_eps(
+            jnp.tile(noisy, (4, 1, 1, 1)), jnp.tile(t, (4,)), text4
+        )
+        e_text = pred[:b]
+        e_uncond = pred[b : 2 * b]
+        e_neg = pred[2 * b :]
+        e_pos = e_text - e_uncond
+        accum = jnp.zeros_like(e_pos)
+        for i in range(2):
+            e_i = e_neg[i::2] - e_uncond
+            accum = accum + neg_weights[:, i].reshape(
+                b, 1, 1, 1
+            ) * perpendicular_component(e_i, e_pos)
+        noise_pred = e_uncond + self.cfg.guidance_scale * (e_pos + accum)
+        w = self.schedule.sds_weight(t, self.cfg.weighting_strategy)
+        return w.reshape(b, 1, 1, 1) * (noise_pred - noise)
+
+    def __call__(
+        self,
+        rgb,  # [B,H,W,3] in [0,1]
+        embeddings: PromptEmbeddings,
+        elevation,
+        azimuth,
+        t,
+        rng,
+        camera_distances=None,
+        grad_clip_val=None,
+        sample_idx=None,
+        rgb_as_latents: bool = False,
+    ):
+        if rgb_as_latents:
+            raise ValueError(
+                "DeepFloyd is a pixel-space model; rgb_as_latents is "
+                "meaningless (deep_floyd_guidance.py:158-161)"
+            )
+        b = rgb.shape[0]
+        if sample_idx is None:
+            sample_idx = jnp.arange(b, dtype=jnp.int32)
+        s = self.cfg.image_size
+        latents = jax.image.resize(
+            rgb * 2.0 - 1.0, (b, s, s, 3), "bilinear"
+        )
+        noise = per_sample_normal(rng, sample_idx, latents.shape)
+        lat_sg = jax.lax.stop_gradient(latents)
+        if self.cfg.use_perp_neg:
+            text4, neg_w = get_text_embeddings_perp_neg(
+                embeddings, elevation, azimuth, camera_distances
+            )
+            grad = self.compute_grad_sds_perp_neg(
+                lat_sg, t, text4, neg_w, noise
+            )
+        else:
+            text3 = embeddings.get_text_embeddings(
+                elevation, azimuth, camera_distances,
+                self.cfg.view_dependent_prompting,
+            )
+            grad = self.compute_grad_sds(lat_sg, t, text3[: 2 * b], noise)
+
+        grad = jnp.nan_to_num(grad)
+        if grad_clip_val is not None:
+            grad = jnp.clip(grad, -grad_clip_val, grad_clip_val)
+        target = jax.lax.stop_gradient(latents - grad)
+        loss_sds = 0.5 * jnp.sum((latents - target) ** 2) / b
+        return {
+            "loss_sds": loss_sds,
+            "grad_norm": jnp.linalg.norm(grad),
+            "grad": jax.lax.stop_gradient(grad),
+        }

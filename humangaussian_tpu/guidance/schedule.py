@@ -64,6 +64,17 @@ class DiffusionSchedule:
             betas = np.linspace(
                 beta_start, beta_end, num_train_timesteps, dtype=np.float64
             )
+        elif beta_schedule == "squaredcos_cap_v2":
+            # diffusers cosine schedule (DeepFloyd IF's DDPMScheduler)
+            def abar(u):
+                return np.cos((u + 0.008) / 1.008 * np.pi / 2) ** 2
+
+            ts = np.arange(num_train_timesteps, dtype=np.float64)
+            betas = np.minimum(
+                1.0 - abar((ts + 1) / num_train_timesteps)
+                / abar(ts / num_train_timesteps),
+                0.999,
+            )
         else:
             raise ValueError(f"unknown beta schedule {beta_schedule!r}")
         alphas_cumprod = np.cumprod(1.0 - betas)

@@ -49,6 +49,7 @@ class UNetConfig:
     norm_num_groups: int = 32
     addition_time_embed_dim: int = 256
     num_time_ids: int = 6
+    encoder_hid_dim: int | None = None  # e.g. 4096 for DeepFloyd's T5
     branch_num: int = 1
     copy_first_n_block: int = 1
     copy_last_n_block: int = 1
@@ -352,6 +353,12 @@ class SingleUNet(nn.Module):
             t_emb.astype(c.dtype)
         )
         context = encoder_hidden_states.astype(c.dtype)
+        if c.encoder_hid_dim is not None:
+            # diffusers encoder_hid_proj (text_proj): T5 width -> cross
+            # attention width (the DeepFloyd IF configuration)
+            context = nn.Dense(
+                c.cross_attention_dim, dtype=c.dtype, name="encoder_hid_proj"
+            )(context)
         h = nn.Conv(
             c.block_out_channels[0], (3, 3), padding=1, dtype=c.dtype,
             name="conv_in",
@@ -483,6 +490,13 @@ class DualBranchUNet(nn.Module):
             h = (h + h_br) / 2.0
         elif c.fusion == "sum":
             h = h + h_br
+        elif c.fusion == "learn":
+            # fusion_conv: 3x3 conv over the channel-concat of the
+            # branch features (unet_rgbdepth.py:282,1044-1046)
+            h = nn.Conv(
+                c.block_out_channels[c.copy_first_n_block - 1], (3, 3),
+                padding=1, dtype=c.dtype, name="fusion_conv",
+            )(jnp.concatenate([h, h_br], axis=-1))
         else:
             raise NotImplementedError(f"fusion {c.fusion!r}")
 

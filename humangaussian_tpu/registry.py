@@ -59,6 +59,11 @@ def _register_builtins():
     _REGISTRY.setdefault("gaussiandreamer-system", GaussianDreamerSystem)
     _REGISTRY.setdefault("dual-branch-guidance", DualBranchGuidance)
     _REGISTRY.setdefault("stable-diffusion-guidance", StableDiffusionGuidance)
+
+    from humangaussian_tpu.guidance.deep_floyd import DeepFloydGuidance
+
+    _REGISTRY.setdefault("deep-floyd-guidance", DeepFloydGuidance)
+    _REGISTRY.setdefault("deep-floyd-prompt-processor", PromptProcessor)
     _REGISTRY.setdefault(
         "texture-structure-prompt-processor", PromptProcessor
     )
