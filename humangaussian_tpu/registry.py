@@ -92,3 +92,7 @@ def _register_builtins():
         "diffuse-with-point-light-material", DiffuseWithPointLightMaterial
     )
     _REGISTRY.setdefault("dreamfusion-system", DreamFusionSystem)
+
+    from humangaussian_tpu.nerf.exporter import export_implicit_volume
+
+    _REGISTRY.setdefault("mesh-exporter", export_implicit_volume)

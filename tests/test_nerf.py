@@ -183,3 +183,35 @@ class TestDreamFusionSystem:
             "dreamfusion-system",
         ):
             assert registry.find(name) is not None
+
+
+class TestExporter:
+    def test_export_obj_mtl_texture(self, tmp_path):
+        from humangaussian_tpu.nerf.exporter import export_implicit_volume
+        from humangaussian_tpu.nerf.geometry import ImplicitVolume
+
+        geo = ImplicitVolume(TINY_GEO)
+        params = geo.init(jax.random.PRNGKey(9), jnp.zeros((4, 3)))
+        obj = export_implicit_volume(
+            str(tmp_path), geo, params, resolution=24, threshold=5.0,
+            texture_size=128,
+        )
+        import os
+        assert os.path.exists(obj)
+        assert os.path.exists(os.path.join(tmp_path, "model.mtl"))
+        assert os.path.exists(os.path.join(tmp_path, "texture_kd.png"))
+        txt = open(obj).read()
+        assert "vt " in txt and "mtllib" in txt
+        # blob density crosses threshold 5 somewhere -> non-empty mesh
+        n_verts = txt.count("\nv ")
+        assert n_verts > 10
+
+    def test_per_face_atlas_in_unit_square(self):
+        from humangaussian_tpu.nerf.exporter import per_face_uv_atlas
+
+        uvs, uv_faces = per_face_uv_atlas(7, 256)
+        assert uvs.shape == (21, 2)
+        assert uv_faces.shape == (7, 3)
+        assert (uvs >= 0).all() and (uvs <= 1).all()
+        # no two faces share texels: cells are disjoint per construction
+        assert len(np.unique(uv_faces)) == 21
