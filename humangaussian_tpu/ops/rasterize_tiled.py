@@ -229,7 +229,7 @@ def _fwd_kernel(
 
     logt_ref[:, :] = jnp.zeros((s.pix, 1), jnp.float32)
     done_ref[:, :] = jnp.zeros((s.pix, 1), jnp.float32)
-    acc_ref[:, :] = jnp.zeros((s.pix, 8), jnp.float32)
+    acc_ref[:, :] = jnp.zeros((8, s.pix), jnp.float32)
 
     @pl.when(nlive > 0)
     def _():
@@ -256,11 +256,13 @@ def _fwd_kernel(
             c, logt_ref[:, :], done_ref[:, :], s
         )
         acc_ref[:, :] += jax.lax.dot_general(
-            w,
             _feat_matrix(f, s),
+            w,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [PIX, 8]
+        )  # [8, PIX] — channel-major so the 1024-wide pixel axis is the
+        # minor (lane) dim of the output; a [.., PIX, 8] layout would be
+        # lane-padded 8->128 by XLA (16x HBM) at training batch sizes
         logt_ref[:, :] = new_log_t
         done_ref[:, :] = new_done
         # whole-tile early stop: every pixel saturated => remaining
@@ -280,10 +282,14 @@ def _fwd_kernel(
             pairs_hbm, buf, sem, base, kfin, jax.lax.rem(kfin, 2), s
         ).wait()
 
-    # channels: 0-2 rgb, 3 depth, 4 sum(w), 5 log T_final, 6-7 zero
+    # channel rows: 0-2 rgb, 3 depth, 4 sum(w), 5 log T_final, 6-7 zero
     out_ref[0] = jnp.concatenate(
-        [acc_ref[:, 0:5], logt_ref[:, :], jnp.zeros((s.pix, 2), jnp.float32)],
-        axis=1,
+        [
+            acc_ref[0:5, :],
+            logt_ref[:, :].reshape(1, s.pix),
+            jnp.zeros((2, s.pix), jnp.float32),
+        ],
+        axis=0,
     )
 
 
@@ -301,8 +307,8 @@ def _bwd_kernel(
     base = start - off
     nlive = pl.cdiv(count, s.chunk)
     px, py = _pixel_coords(t, s)
-    g8 = gvec_ref[0]  # [PIX, 8]: 0-4 output cotangents, 5 = S
-    svec = g8[:, 5:6]
+    g8t = gvec_ref[0]  # [8, PIX]: rows 0-4 output cotangents, row 5 = S
+    svec = g8t[5:6, :].reshape(s.pix, 1)
 
     logt_ref[:, :] = jnp.zeros((s.pix, 1), jnp.float32)
     done_ref[:, :] = jnp.zeros((s.pix, 1), jnp.float32)
@@ -348,7 +354,7 @@ def _bwd_kernel(
         )
         featm = _feat_matrix(f, s)  # [8, G]; rows 5-7 zero => S excluded
         phi = jax.lax.dot_general(
-            g8, featm, (((1,), (0,)), ((), ())),
+            g8t, featm, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [PIX, G]
         wphi = w * phi
@@ -370,7 +376,7 @@ def _bwd_kernel(
             return jnp.sum(v, axis=0, keepdims=True)
 
         dcg = jax.lax.dot_general(
-            g8, w, (((0,), (0,)), ((), ())),
+            g8t, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (8, G): rows 0-2 = drgb, row 3 = ddepth
         # masked lanes (beyond count / non-contributing) are exactly
@@ -426,20 +432,20 @@ def _fwd_call(pair_feats, counts, starts, tileid, s: CompositeStatics):
         grid=(g,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
-            (1, s.pix, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            (1, 8, s.pix), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, _NF, _WIN), jnp.float32),  # DMA double buffer
             pltpu.VMEM((s.pix, 1), jnp.float32),  # log T
             pltpu.VMEM((s.pix, 1), jnp.float32),  # stop latch
-            pltpu.VMEM((s.pix, 8), jnp.float32),  # accumulators
+            pltpu.VMEM((8, s.pix), jnp.float32),  # accumulators
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
         functools.partial(_fwd_kernel, s=s),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((g, s.pix, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g, 8, s.pix), jnp.float32),
         interpret=s.interpret,
     )(counts, starts, tileid, pair_feats)
 
@@ -453,7 +459,7 @@ def _bwd_call(pair_feats, counts, starts, tileid, pagestart, gvec, c_cap,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # pair features
             pl.BlockSpec(
-                (1, s.pix, 8), lambda t, *_: (t, 0, 0),
+                (1, 8, s.pix), lambda t, *_: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.HBM),  # zero init (aliased)
@@ -629,14 +635,14 @@ def _render_core_bwd(cs: _CoreStatics, tile_shard, res, g_out):
         + page_base
     ).reshape(-1)
 
-    # S = sum_j w_j phi_j + g_logT, phi from the 5 live output channels
-    phi_tot = jnp.sum(
-        out[:, :, 0:5] * g_out[:, :, 0:5], axis=-1, keepdims=True
-    )
-    svec = phi_tot + g_out[:, :, 5:6]
+    # S = sum_j w_j phi_j + g_logT, phi from the 5 live channel rows.
+    # Everything stays [G, ch, PIX] (pixel minor) — a [.., PIX, ch]
+    # layout would be lane-padded ch->128 by XLA (16x HBM)
+    phi_tot = jnp.sum(out[:, 0:5, :] * g_out[:, 0:5, :], axis=1)
+    svec = (phi_tot + g_out[:, 5, :])[:, None, :]
     gvec = jnp.concatenate(
-        [g_out[:, :, 0:5], svec, jnp.zeros_like(svec), jnp.zeros_like(svec)],
-        axis=-1,
+        [g_out[:, 0:5, :], svec, jnp.zeros_like(svec), jnp.zeros_like(svec)],
+        axis=1,
     )
 
     dpaged = _shard_call(
@@ -740,9 +746,9 @@ def _core_statics(n, h, w, cfg, tile_capacity, pair_capacity, interpret):
 
 
 def _assemble(acc, background, s: CompositeStatics, h, w):
-    """[T, PIX, 8] accumulators -> image/depth/alpha dict entries."""
-    acc_img = acc.reshape(s.tiles_y, s.tiles_x, s.tile, s.tile, 8)
-    acc_img = acc_img.transpose(0, 2, 1, 3, 4).reshape(h, w, 8)
+    """[T, 8, PIX] accumulators -> image/depth/alpha dict entries."""
+    acc_img = acc.reshape(s.tiles_y, s.tiles_x, 8, s.tile, s.tile)
+    acc_img = acc_img.transpose(0, 3, 1, 4, 2).reshape(h, w, 8)
     t_fin = jnp.exp(acc_img[..., 5])
     image = acc_img[..., 0:3] + t_fin[..., None] * background[None, None, :]
     return {
@@ -808,7 +814,7 @@ def _rasterize_impl(means, scales, quats, features, opacities, alive,
         fmat_b, order_b, skey_b, ckey_b, starts_b, counts_b, tileid, cs,
         tile_shard,
     )
-    acc_b = acc.reshape(b, cs.num_tiles, cs.s.pix, 8)
+    acc_b = acc.reshape(b, cs.num_tiles, 8, cs.s.pix)
     return _finish(acc_b, prims_b, ovf_b, background, cs, h, w, batched)
 
 
