@@ -171,8 +171,18 @@ def main(argv=None):
     parser.add_argument("--train", action="store_true")
     parser.add_argument("--test", action="store_true")
     parser.add_argument("--resume", default=None, help="checkpoint dir")
+    parser.add_argument(
+        "--typecheck", action="store_true",
+        help="runtime shape/type checking via the jaxtyping+typeguard "
+        "import hook (the reference's launch.py:69-72)",
+    )
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
+
+    if args.typecheck:
+        from jaxtyping import install_import_hook
+
+        install_import_hook("humangaussian_tpu", "typeguard.typechecked")
 
     cfg = load_config(args.config, args.overrides)
     exp = ExperimentConfig(
@@ -220,6 +230,7 @@ def main(argv=None):
             val_interval=int(cfg.get("trainer", {}).get("val_check_interval", 100)),
             save_dir=dirs["save"],
             logger=MultiLogger(loggers),
+            progress_path=os.path.join(dirs["trial"], "progress"),
         )
     if args.test or args.train:
         finalize(system, state, dirs["save"])

@@ -254,6 +254,27 @@ def sample_camera_batch(
     )
 
 
+def c2w_from_angles(elevation_deg, azimuth_deg, camera_distances):
+    """[B] spherical angles (degrees) + distances -> [B,4,4] c2w
+    (z-up world, camera looking at the origin — the shared convention)."""
+    elevation = jnp.deg2rad(jnp.asarray(elevation_deg, jnp.float32))
+    azimuth = jnp.deg2rad(jnp.asarray(azimuth_deg, jnp.float32))
+    d = jnp.asarray(camera_distances, jnp.float32)
+    camera_positions = jnp.stack(
+        [
+            d * jnp.cos(elevation) * jnp.cos(azimuth),
+            d * jnp.cos(elevation) * jnp.sin(azimuth),
+            d * jnp.sin(elevation),
+        ],
+        axis=-1,
+    )
+    center = jnp.zeros_like(camera_positions)
+    up = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 1.0]), camera_positions.shape
+    )
+    return _c2w_from_lookat(camera_positions, center, up)
+
+
 def eval_camera_batch(
     cfg: RandomCameraConfig = RandomCameraConfig(), split: str = "test"
 ) -> CameraBatch:

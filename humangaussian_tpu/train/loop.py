@@ -62,6 +62,7 @@ def run_training(
     logger=None,  # utils.loggers.MultiLogger (TB/CSV/wandb fan-out)
     overflow_warn: int = 1,  # dropped pairs per step that triggers a warning
     overflow_limit: int | None = None,  # absolute dropped-pair abort (opt-in)
+    progress_path: str | None = None,  # % progress file (ProgressCallback)
 ):
     """Train to max_steps. Returns (state, metrics_history)."""
     cfg = system.cfg
@@ -75,6 +76,12 @@ def run_training(
         state, metrics = system.train_step(state)
         state, dens_info = system.maybe_densify(state)
         step = int(state.step)
+
+        if progress_path:
+            # the reference's ProgressCallback writes a percentage file
+            # every batch for external UIs (utils/callbacks.py:121-156)
+            with open(progress_path, "w") as pf:
+                pf.write(f"{step / max_steps * 100:.1f}")
 
         if step % log_every == 0 or dens_info is not None:
             row = {k: float(np.asarray(v)) for k, v in metrics.items()}

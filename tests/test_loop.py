@@ -67,3 +67,38 @@ class TestLoop:
         assert any(
             f.startswith("it2-guidance") for f in os.listdir(save_dir)
         )
+
+
+class TestViewer:
+    def test_http_viewer_serves_frames(self):
+        import json
+        import urllib.request
+
+        import jax
+        from humangaussian_tpu.apps.viewer import ViewerServer
+        from humangaussian_tpu.core.scene import scene_from_points
+        import numpy as np
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(0)
+        scene = scene_from_points(
+            jnp.asarray(rng.randn(200, 3).astype(np.float32) * 0.3),
+            jnp.full((200, 3), 0.6, jnp.float32),
+            capacity=256, sh_degree=0, mean_sq_dist=np.full(200, 1e-3),
+        )
+        server = ViewerServer(scene, port=0, size=64).start()
+        try:
+            base = f"http://127.0.0.1:{server.port}"
+            page = urllib.request.urlopen(base + "/").read()
+            assert b"viewer" in page
+            info = json.loads(
+                urllib.request.urlopen(base + "/info").read()
+            )
+            assert info["n_gaussians"] == 200
+            png = urllib.request.urlopen(
+                base + "/render?azimuth=30&elevation=10&distance=2.0"
+            ).read()
+            assert png[:8] == b"\x89PNG\r\n\x1a\n"
+            assert len(png) > 100
+        finally:
+            server.stop()
