@@ -50,3 +50,24 @@ class NeuralEnvironmentMapBackground(nn.Module):
         if self.color_activation == "sigmoid":
             return jax.nn.sigmoid(rgb)
         return jnp.clip(rgb, 0.0, 1.0)
+
+
+class TexturedBackground(nn.Module):
+    """textured-background: a learned equirectangular texture sampled
+    by view direction (textured_background.py)."""
+
+    height: int = 64
+    width: int = 128
+
+    @nn.compact
+    def __call__(self, dirs):
+        tex = self.param(
+            "texture", nn.initializers.constant(0.5),
+            (self.height, self.width, 3),
+        )
+        d = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-8)
+        u = (jnp.arctan2(d[..., 1], d[..., 0]) / (2 * jnp.pi) + 0.5)
+        v = jnp.arccos(jnp.clip(d[..., 2], -1.0, 1.0)) / jnp.pi
+        xi = jnp.clip((u * self.width).astype(jnp.int32), 0, self.width - 1)
+        yi = jnp.clip((v * self.height).astype(jnp.int32), 0, self.height - 1)
+        return jax.nn.sigmoid(tex[yi, xi] * 4.0 - 2.0)

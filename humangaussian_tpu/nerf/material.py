@@ -55,3 +55,66 @@ class DiffuseWithPointLightMaterial(nn.Module):
         if shading == "textureless":
             return jnp.clip(light, 0.0, 1.0)
         return jnp.clip(albedo * light, 0.0, 1.0)
+
+
+class NeuralRadianceMaterial(nn.Module):
+    """neural-radiance-material: MLP(features ++ encoded viewdir) ->
+    sigmoid color (neural_radiance_material.py)."""
+
+    n_frequencies: int = 4
+    n_neurons: int = 32
+    n_hidden_layers: int = 2
+
+    @nn.compact
+    def __call__(self, features, viewdirs=None, **_):
+        from humangaussian_tpu.nerf.encoding import FrequencyEncoding
+        from humangaussian_tpu.nerf.geometry import VanillaMLP
+
+        if viewdirs is None:
+            viewdirs = jnp.zeros(features.shape[:-1] + (3,))
+        d = viewdirs / (
+            jnp.linalg.norm(viewdirs, axis=-1, keepdims=True) + 1e-8
+        )
+        enc = FrequencyEncoding(self.n_frequencies)(d)
+        h = jnp.concatenate([features, enc], axis=-1)
+        rgb = VanillaMLP(3, self.n_neurons, self.n_hidden_layers)(h)
+        return jax.nn.sigmoid(rgb)
+
+
+class PBRMaterial(nn.Module):
+    """pbr-material, simplified Cook-Torrance (pbr_material.py): the
+    feature vector parameterizes (albedo 3, metallic 1, roughness 1);
+    shading = diffuse + GGX-ish specular under a point light."""
+
+    min_metallic: float = 0.0
+    max_metallic: float = 0.9
+    min_roughness: float = 0.08
+    max_roughness: float = 0.9
+
+    @nn.compact
+    def __call__(self, features, positions=None, normal=None,
+                 light_positions=None, viewdirs=None, **_):
+        albedo = jax.nn.sigmoid(features[..., :3])
+        metallic = self.min_metallic + (
+            self.max_metallic - self.min_metallic
+        ) * jax.nn.sigmoid(features[..., 3:4])
+        roughness = self.min_roughness + (
+            self.max_roughness - self.min_roughness
+        ) * jax.nn.sigmoid(features[..., 4:5])
+        if normal is None or light_positions is None or positions is None:
+            return albedo
+        l = light_positions - positions
+        l = l / (jnp.linalg.norm(l, axis=-1, keepdims=True) + 1e-8)
+        v = (
+            -viewdirs if viewdirs is not None else l
+        )
+        h = l + v
+        h = h / (jnp.linalg.norm(h, axis=-1, keepdims=True) + 1e-8)
+        ndl = jnp.maximum(jnp.sum(normal * l, -1, keepdims=True), 0.0)
+        ndh = jnp.maximum(jnp.sum(normal * h, -1, keepdims=True), 0.0)
+        a2 = roughness**4
+        dist = a2 / (jnp.pi * ((ndh**2) * (a2 - 1.0) + 1.0) ** 2 + 1e-6)
+        f0 = 0.04 * (1 - metallic) + albedo * metallic
+        diffuse = albedo * (1 - metallic) * ndl
+        spec = f0 * dist * ndl
+        return jnp.clip(diffuse + spec, 0.0, 1.0)

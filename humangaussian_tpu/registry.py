@@ -96,3 +96,21 @@ def _register_builtins():
     from humangaussian_tpu.nerf.exporter import export_implicit_volume
 
     _REGISTRY.setdefault("mesh-exporter", export_implicit_volume)
+
+    from humangaussian_tpu.nerf.sdf import (
+        ImplicitSDF,
+        NeusVolumeRenderer,
+        VolumeGrid,
+    )
+    from humangaussian_tpu.nerf.material import (
+        NeuralRadianceMaterial,
+        PBRMaterial,
+    )
+    from humangaussian_tpu.nerf.background import TexturedBackground
+
+    _REGISTRY.setdefault("implicit-sdf", ImplicitSDF)
+    _REGISTRY.setdefault("volume-grid", VolumeGrid)
+    _REGISTRY.setdefault("neus-volume-renderer", NeusVolumeRenderer)
+    _REGISTRY.setdefault("neural-radiance-material", NeuralRadianceMaterial)
+    _REGISTRY.setdefault("pbr-material", PBRMaterial)
+    _REGISTRY.setdefault("textured-background", TexturedBackground)

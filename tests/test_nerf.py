@@ -215,3 +215,97 @@ class TestExporter:
         assert (uvs >= 0).all() and (uvs <= 1).all()
         # no two faces share texels: cells are disjoint per construction
         assert len(np.unique(uv_faces)) == 21
+
+
+class TestSDFFamily:
+    def test_implicit_sdf_sphere_bias(self):
+        from humangaussian_tpu.nerf.sdf import ImplicitSDF, ImplicitSDFConfig
+        from humangaussian_tpu.nerf.encoding import HashGridConfig
+
+        cfg = ImplicitSDFConfig(
+            hash_cfg=HashGridConfig(n_levels=2, log2_hashmap_size=10,
+                                    base_resolution=4),
+            n_neurons=16,
+        )
+        geo = ImplicitSDF(cfg)
+        params = geo.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)))
+        inside = geo.apply(params, jnp.zeros((1, 3)))["sdf"]
+        outside = geo.apply(params, jnp.full((1, 3), 0.9))["sdf"]
+        # sphere bias: negative inside radius 0.5, positive outside
+        assert float(inside[0, 0]) < float(outside[0, 0])
+        out = geo.apply(params, jnp.full((2, 3), 0.3), output_normal=True)
+        n = np.asarray(out["normal"])
+        np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-4)
+
+    def test_volume_grid_interpolates(self):
+        from humangaussian_tpu.nerf.sdf import VolumeGrid, VolumeGridConfig
+
+        geo = VolumeGrid(VolumeGridConfig(grid_size=8))
+        params = geo.init(jax.random.PRNGKey(1), jnp.zeros((4, 3)))
+        out = geo.apply(params, jax.random.normal(jax.random.PRNGKey(2),
+                                                  (5, 3)) * 0.5)
+        assert out["density"].shape == (5, 1)
+        assert out["features"].shape == (5, 3)
+        assert (np.asarray(out["density"]) >= 0).all()
+
+    def test_neus_renders_sphere_silhouette(self):
+        from humangaussian_tpu.nerf.sdf import (
+            ImplicitSDF,
+            ImplicitSDFConfig,
+            NeusVolumeRenderer,
+        )
+        from humangaussian_tpu.nerf.encoding import HashGridConfig
+
+        cfg = ImplicitSDFConfig(
+            hash_cfg=HashGridConfig(n_levels=2, log2_hashmap_size=10,
+                                    base_resolution=4),
+            n_neurons=16,
+        )
+        r = NeusVolumeRenderer(
+            ImplicitSDF(cfg), NoMaterial(),
+            SolidColorBackground(color=(0.0, 0.0, 0.0)),
+            RendererConfig(num_samples_per_ray=48, randomized=False),
+        )
+        params = r.init_params(jax.random.PRNGKey(3))
+        c2w = jnp.eye(4).at[2, 3].set(3.0)
+        out = r.render_image(params, c2w, 0.8, 16, 16)
+        op = np.asarray(out["opacity"])[..., 0]
+        assert op[8, 8] > 0.5  # sphere of radius ~0.5 at the center
+        assert op[8, 8] > op[0, 0] + 0.3
+        assert np.isfinite(np.asarray(out["comp_rgb"])).all()
+
+    def test_extra_materials_and_backgrounds(self):
+        from humangaussian_tpu.nerf.material import (
+            NeuralRadianceMaterial,
+            PBRMaterial,
+        )
+        from humangaussian_tpu.nerf.background import TexturedBackground
+
+        feats = jax.random.normal(jax.random.PRNGKey(4), (6, 8))
+        m = NeuralRadianceMaterial()
+        mp = m.init(jax.random.PRNGKey(5), feats)
+        col = m.apply(mp, feats, viewdirs=jnp.ones((6, 3)))
+        assert col.shape == (6, 3)
+        assert ((np.asarray(col) >= 0) & (np.asarray(col) <= 1)).all()
+
+        pbr = PBRMaterial()
+        pp = pbr.init(jax.random.PRNGKey(6), feats)
+        pos = jnp.zeros((6, 3))
+        nrm = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (6, 1))
+        lp = jnp.tile(jnp.array([[0.0, 0.0, 2.0]]), (6, 1))
+        col = pbr.apply(pp, feats, positions=pos, normal=nrm,
+                        light_positions=lp, viewdirs=-nrm)
+        assert ((np.asarray(col) >= 0) & (np.asarray(col) <= 1)).all()
+
+        bg = TexturedBackground(height=8, width=16)
+        bp = bg.init(jax.random.PRNGKey(7), jnp.ones((5, 3)))
+        cols = bg.apply(bp, jax.random.normal(jax.random.PRNGKey(8), (5, 3)))
+        assert cols.shape == (5, 3)
+
+    def test_registry_sdf_names(self):
+        from humangaussian_tpu import registry
+
+        for name in ("implicit-sdf", "volume-grid", "neus-volume-renderer",
+                     "neural-radiance-material", "pbr-material",
+                     "textured-background"):
+            assert registry.find(name) is not None
