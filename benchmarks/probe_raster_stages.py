@@ -7,10 +7,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-from humangaussian_tpu.core.camera import Camera
+from humangaussian_tpu.core.camera import camera_from_c2w, look_at_c2w
 from humangaussian_tpu.ops.projection import RasterizeConfig, project_gaussians
 from humangaussian_tpu.ops.binning import build_pair_lists
-from humangaussian_tpu.ops import rasterize_tiled as rt
+import importlib
+rt = importlib.import_module("humangaussian_tpu.ops.rasterize_tiled")
 
 N = 100_000
 H = W = 1024
@@ -23,8 +24,9 @@ quats = jax.random.normal(ks[2], (N, 4))
 feats = jax.random.uniform(ks[3], (N, 1, 3))
 opas = jax.random.normal(ks[4], (N, 1)) * 0.5
 alive = jnp.ones((N,), bool)
-cam = Camera.lookat(jnp.array([0.0, -4.0, 0.0]), jnp.zeros(3), fovy=0.8,
-                    height=H, width=W)
+c2w = look_at_c2w(jnp.array([0.0, -4.0, 0.0]), jnp.zeros(3),
+                  jnp.array([0.0, 0.0, 1.0]))
+cam = camera_from_c2w(c2w, 0.8, H, W)
 bg = jnp.zeros((3,))
 cfg = RasterizeConfig()
 TC = 4096

@@ -378,3 +378,30 @@ class PromptProcessor:
             text_vd=jnp.asarray(emb[3 : 3 + n]),
             uncond_vd=jnp.asarray(emb[3 + n : 3 + 2 * n]),
         )
+
+
+def dummy_encode_fn(
+    seq_len: int = 77, dim: int = 1024
+) -> Callable[[list[str]], np.ndarray]:
+    """Deterministic pseudo-embeddings keyed by prompt hash — the
+    analogue of the reference's dummy-prompt-processor
+    (prompt_processors/dummy_prompt_processor.py), for pipelines and
+    tests that need the PromptEmbeddings plumbing without a CLIP
+    checkpoint."""
+
+    def encode(prompts: list[str]) -> np.ndarray:
+        out = []
+        for p in prompts:
+            seed = int(_hash_prompt("dummy", p)[:8], 16)
+            rs = np.random.RandomState(seed)
+            out.append(rs.normal(0, 1, (seq_len, dim)).astype(np.float32))
+        return np.stack(out)
+
+    return encode
+
+
+class DummyPromptProcessor(PromptProcessor):
+    """PromptProcessor with the dummy encoder pre-wired."""
+
+    def __init__(self, cfg: PromptProcessorConfig, encode_fn=None):
+        super().__init__(cfg, encode_fn or dummy_encode_fn())

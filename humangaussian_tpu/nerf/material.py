@@ -118,3 +118,43 @@ class PBRMaterial(nn.Module):
         diffuse = albedo * (1 - metallic) * ndl
         spec = f0 * dist * ndl
         return jnp.clip(diffuse + spec, 0.0, 1.0)
+
+
+class SDLatentAdapterMaterial(nn.Module):
+    """sd-latent-adapter-material (sd_latent_adapter_material.py): a
+    learned 4->3 linear adapter mapping SD latent features to RGB,
+    initialized to the well-known latent->RGB preview matrix."""
+
+    @nn.compact
+    def __call__(self, features, **_):
+        init = jnp.asarray(
+            [
+                [0.298, 0.207, 0.208],
+                [0.187, 0.286, 0.173],
+                [-0.158, 0.189, 0.264],
+                [-0.184, -0.271, -0.473],
+            ],
+            jnp.float32,
+        )
+        adapter = self.param("adapter", lambda *_: init, (4, 3))
+        color = features[..., :4] @ adapter
+        return jnp.clip((color + 1.0) * 0.5, 0.0, 1.0)
+
+
+class HybridRGBLatentMaterial(nn.Module):
+    """hybrid-rgb-latent-material (hybrid_rgb_latent_material.py): the
+    first 3 feature dims are activated as RGB, the remaining latent
+    dims pass through unchanged."""
+
+    n_output_dims: int = 3
+    color_activation: str = "sigmoid"
+
+    @nn.compact
+    def __call__(self, features, **_):
+        rgb = features[..., :3]
+        rgb = (
+            jax.nn.sigmoid(rgb)
+            if self.color_activation == "sigmoid"
+            else jnp.clip(rgb, 0.0, 1.0)
+        )
+        return jnp.concatenate([rgb, features[..., 3:]], axis=-1)

@@ -114,3 +114,28 @@ def _register_builtins():
     _REGISTRY.setdefault("neural-radiance-material", NeuralRadianceMaterial)
     _REGISTRY.setdefault("pbr-material", PBRMaterial)
     _REGISTRY.setdefault("textured-background", TexturedBackground)
+
+    from humangaussian_tpu.guidance.controlnet import ControlNetGuidance
+    from humangaussian_tpu.guidance.prompt import DummyPromptProcessor
+    from humangaussian_tpu.nerf.explicit import (
+        CustomMesh,
+        NVDiffRasterizer,
+        PatchRenderer,
+        TetrahedraSDFGrid,
+    )
+    from humangaussian_tpu.nerf.material import (
+        HybridRGBLatentMaterial,
+        SDLatentAdapterMaterial,
+    )
+
+    _REGISTRY.setdefault("stable-diffusion-controlnet-guidance",
+                         ControlNetGuidance)
+    _REGISTRY.setdefault("dummy-prompt-processor", DummyPromptProcessor)
+    _REGISTRY.setdefault("custom-mesh", CustomMesh)
+    _REGISTRY.setdefault("tetrahedra-sdf-grid", TetrahedraSDFGrid)
+    _REGISTRY.setdefault("nvdiff-rasterizer", NVDiffRasterizer)
+    _REGISTRY.setdefault("patch-renderer", PatchRenderer)
+    _REGISTRY.setdefault("sd-latent-adapter-material",
+                         SDLatentAdapterMaterial)
+    _REGISTRY.setdefault("hybrid-rgb-latent-material",
+                         HybridRGBLatentMaterial)
