@@ -1,4 +1,9 @@
-"""Chained component split of the SDS step: render batch vs guidance."""
+"""Chained component split of the SDS step: render batch vs guidance.
+
+All large pytrees (scene params, UNet/VAE params, guidance bundle) are
+passed as jit ARGUMENTS — closing over them would bake GBs of constants
+into each chain (3.7GB captured-constant warning + huge compiles).
+"""
 import sys, os, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
@@ -18,12 +23,15 @@ from humangaussian_tpu.smplx.skeleton import Skeleton
 from humangaussian_tpu.train.system import GaussianDreamerConfig, GaussianDreamerSystem
 
 ITERS = int(os.environ.get("ITERS", "5"))
+ONLY = os.environ.get("ONLY", "")
 rng = jax.random.PRNGKey(0)
 unet = DualBranchUNet(SD2_BASE_CONFIG)
 x1 = jnp.zeros((1, 64, 64, 8))
 up = jax.jit(unet.init)(rng, x1, x1, jnp.zeros((1,)), jnp.zeros((1, 77, 1024)), jnp.zeros((1, 6)))
+up = jax.tree.map(lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, up)
 vae = AutoencoderKL(VAEConfig())
 vp = jax.jit(vae.init)(rng, jnp.zeros((1, 64, 64, 3)), rng)
+vp = jax.tree.map(lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, vp)
 guidance = DualBranchGuidance(
     unet=unet, unet_params=up, vae=vae, vae_params=vp,
     schedule=DiffusionSchedule.create(),
@@ -41,44 +49,53 @@ cams = sample_camera_batch(jax.random.PRNGKey(3), 0, system.camera_cfg)
 print("ready", flush=True)
 
 
-def bench_chain(name, step, init):
+def bench_chain(name, step, init, *extra):
+    if ONLY and ONLY not in name:
+        return
+
     @jax.jit
-    def run(x0):
-        return jax.lax.fori_loop(0, ITERS, lambda i, x: step(x, i), x0)
-    out = run(init)
+    def run(x0, *e):
+        return jax.lax.fori_loop(0, ITERS, lambda i, x: step(x, i, *e), x0)
+
+    out = run(init, *extra)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     out = run(jax.tree.map(
-        lambda a: a + 1e-6 if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, init))
+        lambda a: a + 1e-6 if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, init), *extra)
     jax.block_until_ready(out)
     print(f"{name}: {(time.perf_counter()-t0)/ITERS*1e3:.0f} ms", flush=True)
 
 
 # 1. render batch fwd+bwd
 params0 = state.scene.params()
+scene0 = state.scene
 
-def render_step(p, i):
+
+def render_step(p, i, scene):
     def loss(q):
-        scene = state.scene.replace_params(q)
-        out = system.render_batch(scene, cams, 1024, 1024)
+        sc = scene.replace_params(q)
+        out = system.render_batch(sc, cams, 1024, 1024)
         return jnp.sum(out["image"]) + jnp.sum(out["depth"]) * 1e-3
     g = jax.grad(loss)(p)
     return jax.tree.map(lambda a, b: a + b * 1e-12, p, g)
 
-bench_chain("render batch (8x1024^2) fwd+bwd", render_step, params0)
+
+bench_chain("render batch (8x1024^2) fwd+bwd", render_step, params0, scene0)
 
 # 2. guidance fwd+bwd on synthetic renders
 imgs0 = jax.random.uniform(rng, (8, 1024, 1024, 3))
 text3 = jax.random.normal(rng, (24, 77, 1024))
 
-def guide_step(im, i):
+
+def guide_step(im, i, gd):
     def loss(x):
-        out = guidance(x, x, x, text3, jnp.full((8,), 500, jnp.int32), rng)
+        out = gd(x, x, x, text3, jnp.full((8,), 500, jnp.int32), rng)
         return out["loss_sds"]
     g = jax.grad(loss)(im)
     return im + g * 1e-12
 
-bench_chain("guidance fwd+bwd (8 cams)", guide_step, imgs0)
+
+bench_chain("guidance fwd+bwd (8 cams)", guide_step, imgs0, guidance)
 
 # 3. UNet fwd only (24 latents)
 xb0 = jax.random.normal(rng, (24, 64, 64, 8))
@@ -86,27 +103,33 @@ ctx = jax.random.normal(rng, (24, 77, 1024))
 tt = jnp.full((24,), 500.0)
 tids = jnp.ones((24, 6))
 
-def unet_step(xb, i):
-    out = unet.apply(up, xb, xb, tt, ctx, tids)
+
+def unet_step(xb, i, p):
+    out = unet.apply(p, xb, xb, tt, ctx, tids)
     return xb + out[..., :8] * 1e-12
 
-bench_chain("unet fwd 24x64^2", unet_step, xb0)
+
+bench_chain("unet fwd 24x64^2", unet_step, xb0, up)
 
 # 4. VAE encode fwd+bwd (8x512^2, x2 for rgb+depth grads + 1 fwd pose)
 img512 = jax.random.normal(rng, (8, 512, 512, 3))
 
-def vae_step(im, i):
+
+def vae_step(im, i, p):
     def loss(x):
-        m, _ = vae.apply(vp, x, method=vae.encode)
+        m, _ = vae.apply(p, x, method=vae.encode)
         return jnp.sum(m * m)
     g = jax.grad(loss)(im)
     return im + g * 1e-12
 
-bench_chain("vae encode fwd+bwd 8x512^2", vae_step, img512)
+
+bench_chain("vae encode fwd+bwd 8x512^2", vae_step, img512, vp)
+
 
 # 5. pose images
 def pose_step(x, i):
     imgs = system.pose_images(cams)
     return x + imgs[0, 0, 0, 0] * 1e-12
+
 
 bench_chain("pose images 8x512^2", pose_step, jnp.zeros(()))

@@ -47,13 +47,13 @@ pr0 = build_pair_lists(p0, cs.s.tiles_x, cs.s.tiles_y, TC, cfg,
 fmat0 = rt._feature_matrix(p0)
 b = 1
 n = N
-r = pr0.cand_keys.size // n
+r = pr0.perm.size // n
 print(f"p_cap={cs.p_cap} c_cap={cs.c_cap} r={r} lanes={cs.lanes}", flush=True)
 
 dpaged0 = jax.random.normal(ks[5], (b * cs.c_cap * rt._NF, 128))
-pos2_0 = rt._pos2_candidate_order(pr0.sorted_key, pr0.cand_keys, cs.p_cap,
-                                  cs.c_cap, cs.k_cap, cs.rank_bits,
-                                  cs.num_tiles)
+pos2_0 = rt._pos2_candidate_order(pr0.sorted_key[None], pr0.perm[None],
+                                  cs.p_cap, cs.c_cap, cs.k_cap,
+                                  cs.rank_bits, cs.num_tiles)
 
 # A. paged -> pair-major transpose
 def t_transpose(x):
@@ -85,7 +85,7 @@ tileid = jnp.arange(cs.num_tiles, dtype=jnp.int32)
 starts_c0 = jnp.minimum(pr0.starts[:-1], cs.p_cap)
 def core(fm):
     acc = rt._render_core(fm[None], pr0.order[None], pr0.sorted_key[None],
-                          pr0.cand_keys[None], starts_c0[None],
+                          pr0.perm[None], starts_c0[None],
                           pr0.counts[None], tileid, cs, None)
     return jnp.sum(acc[:, 0:5, :])
 def t_core_vjp(fm):

@@ -53,7 +53,7 @@ out0 = rt._fwd_call(pair_flat0, pr0.counts, starts_c0, tileid, cs.s)
 g_out0 = jnp.ones_like(out0)
 
 res = (pair_flat0, pr0.order[None], pr0.sorted_key[None],
-       pr0.cand_keys[None], starts_c0[None], pr0.counts[None], tileid,
+       pr0.perm[None], starts_c0[None], pr0.counts[None], tileid,
        out0)
 
 # full bwd from residuals
@@ -65,7 +65,7 @@ chain("core bwd from residuals", t_bwd, g_out0)
 # core fwd alone (pair build + kernel)
 def t_fwd(fm):
     acc = rt._render_core(fm[None], pr0.order[None], pr0.sorted_key[None],
-                          pr0.cand_keys[None], starts_c0[None],
+                          pr0.perm[None], starts_c0[None],
                           pr0.counts[None], tileid, cs, None)
     return fm + jnp.sum(acc[:, 0:5, ::509]) * 1e-12
 chain("core fwd alone", t_fwd, fmat0)
@@ -91,11 +91,11 @@ def t_bwdk(x):
 chain("bwd kernel w/ zeros alias", t_bwdk, jnp.zeros(()))
 
 # gather+reduce combined (fused?)
-pos2_0 = rt._pos2_candidate_order(pr0.sorted_key, pr0.cand_keys, cs.p_cap,
-                                  cs.c_cap, cs.k_cap, cs.rank_bits,
-                                  cs.num_tiles)
+pos2_0 = rt._pos2_candidate_order(pr0.sorted_key[None], pr0.perm[None],
+                                  cs.p_cap, cs.c_cap, cs.k_cap,
+                                  cs.rank_bits, cs.num_tiles)
 rows0 = jax.random.normal(ks[5], (cs.c_cap * 128, rt._NF))
-r = pr0.cand_keys.size // N
+r = pr0.perm.size // N
 def t_gr(x):
     dpr = x[pos2_0]
     dsorted = jnp.sum(dpr.reshape(N, r, rt._NF), axis=1)

@@ -92,13 +92,13 @@ p0 = project_gaussians(means, scales, quats, feats, opas, alive, cam, 0,
                        cfg, 1.0, None)
 pr0 = build_pair_lists(p0, cs.s.tiles_x, cs.s.tiles_y, TC, cfg,
                        pair_capacity=cs.p_cap)
-sk0, ck0 = pr0.sorted_key, pr0.cand_keys
+sk0, ck0 = pr0.sorted_key, pr0.perm
 
 def pos2_only(x):
-    pos2 = rt._pos2_candidate_order(sk0 + x.astype(sk0.dtype) * 0, ck0,
+    pos2 = rt._pos2_candidate_order(sk0[None], ck0[None],
                                     cs.p_cap, cs.c_cap, cs.k_cap,
                                     cs.rank_bits, cs.num_tiles)
-    return x + jnp.sum(pos2).astype(jnp.float32) * 1e-12
+    return x + (jnp.sum(pos2) + jnp.sum(sk0) * 0).astype(jnp.float32) * 1e-12
 chain("pos2 (bwd sorts)", pos2_only, jnp.zeros(()))
 
 # stage 7: bwd kernel alone (paged write) on prebuilt inputs

@@ -7,22 +7,30 @@ cub radix sort by (tile | depth) key, called from
 
 The CUDA version builds dynamically-sized per-tile ranges. On TPU every
 shape must be static, and the cost profile is different: XLA sort passes
-move every operand at every compare-exchange, and scalar gathers are
+move every operand at every compare-exchange (a payload operand roughly
+TRIPLES the measured sort cost at 900k keys), and scalar gathers are
 ~20x slower than 16-wide row gathers. The design accounts for both:
 
 1. depth-sort the N (padded) Gaussians once (2-operand sort of N);
 2. expand each Gaussian's tile rect into `rect_side**2` candidate pairs
-   and PACK each pair into ONE int32 key: tile_id << RANK_BITS |
-   depth_rank (invalid pairs get a sentinel tile that sorts last);
+   and PACK each pair into ONE uint32 key:
+       tile_id << (rank_bits + j_bits) | depth_rank << j_bits | j
+   where j < r is the candidate's slot inside its Gaussian's rect
+   (invalid pairs get a sentinel tile that sorts last);
 3. ONE single-operand sort of the packed keys orders pairs by
-   (tile, depth) — no stability or payload operands needed because the
-   depth rank rides in the key;
+   (tile, depth) — no payload operands: the rank AND the original
+   candidate index (perm = rank * r + j, needed by the backward's
+   gather) are both recovered ELEMENTWISE from the sorted keys;
 4. per-tile segment starts via searchsorted over the tile bits.
 
-Consumers read pair data through two 16-wide row gathers (see
-rasterize_tiled.rasterize_tiled): depth-ordered feature rows indexed by
-the key's rank bits, then the static [T, K] table as contiguous segment
-slices — no [T, K] scalar index table is ever materialized.
+When tile/rank/j don't fit 32 bits (huge scenes or images) the packing
+transparently falls back to a 2-operand (key, candidate-index) sort with
+j_bits = 0.
+
+Consumers read pair data through 16-wide row gathers (see
+rasterize_tiled): depth-ordered feature rows indexed by the key's rank
+bits as contiguous segment slices — no [T, K] scalar index table is ever
+materialized.
 
 Pairs beyond K for a given tile are dropped deepest-first (they sit
 behind K closer Gaussians; with K=4096 and front-to-back saturation this
@@ -43,8 +51,9 @@ class PairLists(NamedTuple):
 
     order: jnp.ndarray  # [N] Gaussian index by depth rank
     sorted_rank: jnp.ndarray  # [P] depth rank of each sorted pair
-    sorted_key: jnp.ndarray  # [P] full packed keys (tile<<bits | rank)
-    cand_keys: jnp.ndarray  # [N, R] each rank's candidate packed keys
+    sorted_key: jnp.ndarray  # [P] packed keys (tile << bits | rank), j bits
+    #     stripped — the (tile, rank) key format consumers parse
+    perm: jnp.ndarray  # [P] original candidate index of each sorted pair
     starts: jnp.ndarray  # [T+1] segment starts into the sorted pairs
     counts: jnp.ndarray  # [T] live pairs per tile (capped at K)
     overflow: jnp.ndarray  # [] pairs dropped by the K cap
@@ -89,7 +98,10 @@ def build_pair_lists(
     side = cfg.rect_side
     r = side * side
     rank_bits = max((n - 1).bit_length(), 1)
-    if (num_tiles + 1) << rank_bits >= 1 << 31:
+    j_bits = max((r - 1).bit_length(), 1)
+    # single-operand layout needs tile|rank|j in 32 bits (unsigned)
+    packed_j = (num_tiles + 1) << (rank_bits + j_bits) <= (1 << 32)
+    if not packed_j and (num_tiles + 1) << rank_bits >= 1 << 31:
         raise ValueError(
             f"packed pair keys overflow int32: {num_tiles} tiles x "
             f"2^{rank_bits} ranks; reduce capacity or tile count"
@@ -109,10 +121,33 @@ def build_pair_lists(
     tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles)  # sentinel last
 
     rank = jnp.arange(n, dtype=jnp.int32)[:, None, None]
-    keys = (tile_id << rank_bits) | rank  # invalid: sentinel tile, rank rides
-    sorted_key = jax.lax.sort(keys.reshape(n * r))
+    if packed_j:
+        # j (candidate slot in the rect) rides the low bits, so the
+        # backward's candidate index perm = rank * r + j is elementwise
+        j_idx = (dy[None, :, None] * side + dx[None, None, :]).astype(
+            jnp.uint32
+        )
+        keys = (
+            (tile_id.astype(jnp.uint32) << (rank_bits + j_bits))
+            | (rank.astype(jnp.uint32) << j_bits)
+            | j_idx
+        )
+        sorted_u = jax.lax.sort(keys.reshape(n * r))
+        rank_s = (sorted_u >> j_bits) & jnp.uint32((1 << rank_bits) - 1)
+        j_s = sorted_u & jnp.uint32((1 << j_bits) - 1)
+        perm = (rank_s * jnp.uint32(r) + j_s).astype(jnp.int32)
+        tiles_sorted = (sorted_u >> (rank_bits + j_bits)).astype(jnp.int32)
+        sorted_rank = rank_s.astype(jnp.int32)
+        sorted_key = (tiles_sorted << rank_bits) | sorted_rank
+    else:
+        keys = (tile_id << rank_bits) | rank
+        sorted_key, perm = jax.lax.sort(
+            (keys.reshape(n * r), jnp.arange(n * r, dtype=jnp.int32)),
+            num_keys=1,
+        )
+        tiles_sorted = sorted_key >> rank_bits
+        sorted_rank = sorted_key & ((1 << rank_bits) - 1)
 
-    tiles_sorted = sorted_key >> rank_bits
     starts = jnp.searchsorted(
         tiles_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
@@ -122,12 +157,11 @@ def build_pair_lists(
         budget = pair_capacity - jnp.minimum(starts[:-1], pair_capacity)
         counts = jnp.minimum(counts, budget)
     overflow = jnp.sum(seg_len - counts)
-    sorted_rank = sorted_key & ((1 << rank_bits) - 1)
     return PairLists(
         order=order,
         sorted_rank=sorted_rank,
         sorted_key=sorted_key,
-        cand_keys=keys.reshape(n, r),
+        perm=perm,
         starts=starts,
         counts=counts,
         overflow=overflow,

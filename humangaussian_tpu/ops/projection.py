@@ -56,8 +56,8 @@ class RasterizeConfig:
     """Static rasterization parameters (hashable; part of jit closure)."""
 
     tile: int = 32  # pixel tile edge (tiles are tile x tile)
-    max_tiles_per_gaussian: int = 16  # static cap on rect area (s*s)
-    pair_factor: int = 8  # pair-buffer capacity = N * pair_factor
+    max_tiles_per_gaussian: int = 9  # static cap on rect area (s*s)
+    pair_factor: int = 6  # pair-buffer capacity = N * pair_factor
     near: float = 0.2  # CUDA near-cull plane
     alpha_min: float = 1.0 / 255.0  # contribution threshold
     alpha_max: float = 0.99  # alpha clamp

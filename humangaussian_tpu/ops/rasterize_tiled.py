@@ -51,8 +51,8 @@ once in XLA to pair-major rows, and each Gaussian gathers its <= R
 candidate rows back. The candidate -> page-row index (pos2) is computed
 entirely ELEMENTWISE over the sorted order (segment begins via cummax,
 segment ends via a reverse cummin) and carried back to candidate order
-as a payload of the pair sort's inverse — two 2-operand sorts total,
-paid only when gradients flow.
+as a payload sorted by the binning sort's saved permutation — ONE
+2-operand sort, paid only when gradients flow.
 
 Gradient semantics match jax.grad of the oracle (autodiff): the alpha
 clamp at 0.99 and the power<=0 gate zero their branches' gradients. (The
@@ -521,35 +521,46 @@ def _shard_call(fn, args, tile_shard, psum_out=False):
 # ---------------------------------------------------------------------------
 
 
-def _pos2_candidate_order(sorted_key, cand_keys, p_cap, c_cap, k_cap,
+def _pos2_candidate_order(sorted_key, perm, p_cap, c_cap, k_cap,
                           rank_bits, num_tiles):
-    p = sorted_key.shape[0]
-    p_idx = jnp.arange(p, dtype=jnp.int32)
-    t_p = (sorted_key >> rank_bits).astype(jnp.int32)
+    """Batched: sorted_key/perm [B, P] -> pos2 [B*P] page-row indices
+    into the FLAT (all-camera) page buffer, in (camera, candidate)
+    order.
+
+    Everything runs on FLATTENED [B*P] 1-D arrays: a vmapped sort gets
+    a [1,P]{T(1,128)} layout from XLA that runs ~5x slower than the
+    same sort expressed 1-D, and the segment cummax/cummin recurrences
+    flatten safely because every camera's first element is forced to be
+    a segment start."""
+    b, p = sorted_key.shape
+    tot = b * p
+    flat_idx = jnp.arange(tot, dtype=jnp.int32)
+    cam = flat_idx // p
+    sk = sorted_key.reshape(tot)
+    t_p = (sk >> rank_bits).astype(jnp.int32)
     is_first = jnp.concatenate(
         [jnp.ones((1,), bool), t_p[1:] != t_p[:-1]]
-    )
-    seg_begin = jax.lax.cummax(jnp.where(is_first, p_idx, -1), axis=0)
+    ) | ((flat_idx % p) == 0)
+    seg_begin = jax.lax.cummax(jnp.where(is_first, flat_idx, -1), axis=0)
     # exclusive-from-the-right min of segment-start positions = seg end
-    starts_pos = jnp.where(is_first, p_idx, p)
+    starts_pos = jnp.where(is_first, flat_idx, tot)
     rev_min = jax.lax.cummin(starts_pos[::-1], axis=0)[::-1]
-    seg_end = jnp.concatenate([rev_min[1:], jnp.full((1,), p, jnp.int32)])
+    seg_end = jnp.concatenate([rev_min[1:], jnp.full((1,), tot, jnp.int32)])
     seg_len = seg_end - seg_begin
-    begin_c = jnp.minimum(seg_begin, p_cap)
+    begin_c = jnp.minimum(seg_begin - cam * p, p_cap)  # camera-local, capped
     cnt = jnp.minimum(jnp.minimum(seg_len, k_cap), p_cap - begin_c)
-    offset = p_idx - seg_begin
+    offset = flat_idx - seg_begin
     valid = (offset < cnt) & (t_p < num_tiles)
-    zero_row = c_cap * 128 - 1  # last (guard) page, never written
-    page = (begin_c >> 7) + t_p
+    zero_row = b * c_cap * 128 - 1  # last (guard) page, never written
+    page = (begin_c >> 7) + t_p + cam * c_cap
     pos2_sorted = jnp.where(valid, page * 128 + offset, zero_row)
 
     # carry pos2 back to candidate order as a payload of the inverse
-    # permutation (sort by perm)
-    keys_flat = cand_keys.reshape(p)
-    iota_p = jnp.arange(p, dtype=jnp.int32)
-    _, perm = jax.lax.sort((keys_flat, iota_p), num_keys=1)  # sorted->orig
-    _, pos2_cand = jax.lax.sort((perm, pos2_sorted), num_keys=1)
-    return pos2_cand  # [P] int32, candidate (rank-major) order
+    # permutation; `perm` (sorted -> original candidate index) comes
+    # from the forward binning sort, so no key re-sort is needed here
+    keys = cam * p + perm.reshape(tot)
+    _, pos2_cand = jax.lax.sort((keys, pos2_sorted), num_keys=1)
+    return pos2_cand  # [B*P] int32, (camera, rank-major candidate) order
 
 
 # ---------------------------------------------------------------------------
@@ -578,11 +589,11 @@ def _build_pair_t(fmat, order, sorted_key, cs: _CoreStatics):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _render_core(fmat, order, sorted_key, cand_keys, starts_c, counts,
+def _render_core(fmat, order, sorted_key, perm, starts_c, counts,
                  tileid, cs: _CoreStatics, tile_shard):
-    """Batched: fmat [B,N,16], order [B,N], sorted_key [B,P], cand_keys
-    [B,N,R], starts_c [B,T] (lane offsets, clamped), counts [B,T],
-    tileid [B*T] -> acc [B*T, PIX, 8]."""
+    """Batched: fmat [B,N,16], order [B,N], sorted_key [B,P], perm
+    [B,P] (binning sort payload), starts_c [B,T] (lane offsets,
+    clamped), counts [B,T], tileid [B*T] -> acc [B*T, PIX, 8]."""
     b = fmat.shape[0]
     pair_t = jax.vmap(
         lambda f, o, k: _build_pair_t(f, o, k, cs)
@@ -598,7 +609,7 @@ def _render_core(fmat, order, sorted_key, cand_keys, starts_c, counts,
     )
 
 
-def _render_core_fwd(fmat, order, sorted_key, cand_keys, starts_c, counts,
+def _render_core_fwd(fmat, order, sorted_key, perm, starts_c, counts,
                      tileid, cs, tile_shard):
     b = fmat.shape[0]
     pair_t = jax.vmap(
@@ -615,12 +626,12 @@ def _render_core_fwd(fmat, order, sorted_key, cand_keys, starts_c, counts,
     )
     # keep the compacted pair array as a residual: rebuilding it in the
     # backward costs a second [P_cap] gather + transpose
-    return out, (pair_flat, order, sorted_key, cand_keys, starts_c, counts,
+    return out, (pair_flat, order, sorted_key, perm, starts_c, counts,
                  tileid, out)
 
 
 def _render_core_bwd(cs: _CoreStatics, tile_shard, res, g_out):
-    (pair_flat, order, sorted_key, cand_keys, starts_c, counts, tileid,
+    (pair_flat, order, sorted_key, perm, starts_c, counts, tileid,
      out) = res
     b, n = order.shape
     lane_base = (jnp.arange(b, dtype=jnp.int32) * cs.lanes)[:, None]
@@ -660,20 +671,20 @@ def _render_core_bwd(cs: _CoreStatics, tile_shard, res, g_out):
         .reshape(b * cs.c_cap * 128, _NF)
     )
 
-    def per_camera(sk, ck, dof, ordr):
-        pos2 = _pos2_candidate_order(
-            sk, ck, cs.p_cap, cs.c_cap, cs.k_cap, cs.rank_bits,
-            cs.num_tiles,
-        )
-        dpr = dof[pos2]  # [P, 16]
-        r = ck.size // n
-        dsorted = jnp.sum(dpr.reshape(n, r, _NF), axis=1)
-        iota_n = jnp.arange(n, dtype=jnp.int32)
-        _, inv_order = jax.lax.sort((ordr, iota_n), num_keys=1)
-        return dsorted[inv_order]
-
-    cam_rows = dpair_rows.reshape(b, cs.c_cap * 128, _NF)
-    dfmat = jax.vmap(per_camera)(sorted_key, cand_keys, cam_rows, order)
+    # candidate-order gather + per-Gaussian reduce, all camera-flat 1-D
+    # (vmapped sorts get a hostile [1,P] layout — see _pos2_candidate_order)
+    pos2 = _pos2_candidate_order(
+        sorted_key, perm, cs.p_cap, cs.c_cap, cs.k_cap, cs.rank_bits,
+        cs.num_tiles,
+    )  # [B*P]
+    r = perm.shape[1] // n
+    dpr = dpair_rows[pos2]  # [B*P, 16]
+    dsorted = jnp.sum(dpr.reshape(b * n, r, _NF), axis=1)  # [B*N, 16]
+    # inverse of the depth order, batch-flat
+    iota_bn = jnp.arange(b * n, dtype=jnp.int32)
+    okeys = (iota_bn // n) * n + order.reshape(b * n)
+    _, inv_order = jax.lax.sort((okeys, iota_bn), num_keys=1)
+    dfmat = dsorted[inv_order].reshape(b, n, _NF)
     return dfmat, None, None, None, None, None, None
 
 
@@ -771,7 +782,7 @@ def _bin_one(means, scales, quats, features, opacities, alive, camera,
     )
     fmat = _feature_matrix(prims)
     starts_c = jnp.minimum(pairs.starts[:-1], cs.p_cap)
-    return (prims, fmat, pairs.order, pairs.sorted_key, pairs.cand_keys,
+    return (prims, fmat, pairs.order, pairs.sorted_key, pairs.perm,
             starts_c, pairs.counts, pairs.overflow)
 
 
