@@ -52,6 +52,7 @@ print(f"p_cap={cs.p_cap} c_cap={cs.c_cap} r={r} lanes={cs.lanes}", flush=True)
 
 dpaged0 = jax.random.normal(ks[5], (b * cs.c_cap * rt._NF, 128))
 pos2_0 = rt._pos2_candidate_order(pr0.sorted_key[None], pr0.perm[None],
+                                  pr0.perm.size // N,
                                   cs.p_cap, cs.c_cap, cs.k_cap,
                                   cs.rank_bits, cs.num_tiles)
 

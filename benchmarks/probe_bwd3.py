@@ -92,6 +92,7 @@ chain("bwd kernel w/ zeros alias", t_bwdk, jnp.zeros(()))
 
 # gather+reduce combined (fused?)
 pos2_0 = rt._pos2_candidate_order(pr0.sorted_key[None], pr0.perm[None],
+                                  pr0.perm.size // N,
                                   cs.p_cap, cs.c_cap, cs.k_cap,
                                   cs.rank_bits, cs.num_tiles)
 rows0 = jax.random.normal(ks[5], (cs.c_cap * 128, rt._NF))

@@ -95,7 +95,7 @@ pr0 = build_pair_lists(p0, cs.s.tiles_x, cs.s.tiles_y, TC, cfg,
 sk0, ck0 = pr0.sorted_key, pr0.perm
 
 def pos2_only(x):
-    pos2 = rt._pos2_candidate_order(sk0[None], ck0[None],
+    pos2 = rt._pos2_candidate_order(sk0[None], ck0[None], ck0.size // N,
                                     cs.p_cap, cs.c_cap, cs.k_cap,
                                     cs.rank_bits, cs.num_tiles)
     return x + (jnp.sum(pos2) + jnp.sum(sk0) * 0).astype(jnp.float32) * 1e-12

@@ -521,11 +521,11 @@ def _shard_call(fn, args, tile_shard, psum_out=False):
 # ---------------------------------------------------------------------------
 
 
-def _pos2_candidate_order(sorted_key, perm, p_cap, c_cap, k_cap,
+def _pos2_candidate_order(sorted_key, perm, r, p_cap, c_cap, k_cap,
                           rank_bits, num_tiles):
     """Batched: sorted_key/perm [B, P] -> pos2 [B*P] page-row indices
-    into the FLAT (all-camera) page buffer, in (camera, candidate)
-    order.
+    into the FLAT (all-camera) page buffer, in (camera, j-major
+    candidate) order; `r` is the static rect-slot count.
 
     Everything runs on FLATTENED [B*P] 1-D arrays: a vmapped sort gets
     a [1,P]{T(1,128)} layout from XLA that runs ~5x slower than the
@@ -557,10 +557,16 @@ def _pos2_candidate_order(sorted_key, perm, p_cap, c_cap, k_cap,
 
     # carry pos2 back to candidate order as a payload of the inverse
     # permutation; `perm` (sorted -> original candidate index) comes
-    # from the forward binning sort, so no key re-sort is needed here
-    keys = cam * p + perm.reshape(tot)
+    # from the forward binning sort, so no key re-sort is needed here.
+    # The target order is J-MAJOR (slot-major: j * n + rank) rather than
+    # the natural rank-major candidate index: the per-Gaussian reduce
+    # then sums r contiguous [N, 16] blocks instead of a strided
+    # [N, r, 16] view, which costs a full-array relayout copy.
+    pm = perm.reshape(tot)
+    n = p // r
+    keys = cam * p + (pm % r) * n + pm // r
     _, pos2_cand = jax.lax.sort((keys, pos2_sorted), num_keys=1)
-    return pos2_cand  # [B*P] int32, (camera, rank-major candidate) order
+    return pos2_cand  # [B*P] int32, (camera, j-major candidate) order
 
 
 # ---------------------------------------------------------------------------
@@ -673,13 +679,16 @@ def _render_core_bwd(cs: _CoreStatics, tile_shard, res, g_out):
 
     # candidate-order gather + per-Gaussian reduce, all camera-flat 1-D
     # (vmapped sorts get a hostile [1,P] layout — see _pos2_candidate_order)
-    pos2 = _pos2_candidate_order(
-        sorted_key, perm, cs.p_cap, cs.c_cap, cs.k_cap, cs.rank_bits,
-        cs.num_tiles,
-    )  # [B*P]
     r = perm.shape[1] // n
+    pos2 = _pos2_candidate_order(
+        sorted_key, perm, r, cs.p_cap, cs.c_cap, cs.k_cap, cs.rank_bits,
+        cs.num_tiles,
+    )  # [B*P], j-major per camera
     dpr = dpair_rows[pos2]  # [B*P, 16]
-    dsorted = jnp.sum(dpr.reshape(b * n, r, _NF), axis=1)  # [B*N, 16]
+    # j-major: sum r contiguous [N, 16] blocks per camera (no relayout)
+    dsorted = jnp.sum(dpr.reshape(b, r, n, _NF), axis=1).reshape(
+        b * n, _NF
+    )  # [B*N, 16]
     # inverse of the depth order, batch-flat
     iota_bn = jnp.arange(b * n, dtype=jnp.int32)
     okeys = (iota_bn // n) * n + order.reshape(b * n)

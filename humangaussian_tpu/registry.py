@@ -71,6 +71,14 @@ def _register_builtins():
     _REGISTRY.setdefault("random-camera-datamodule", RandomCameraConfig)
     _REGISTRY.setdefault("photo-3dgs-trainer", PhotoTrainer)
 
+    from humangaussian_tpu.data.co3d import Co3dDataModule
+    from humangaussian_tpu.data.image import SingleImageDataModule
+    from humangaussian_tpu.data.multiview import MultiviewDataModule
+
+    _REGISTRY.setdefault("co3d-datamodule", Co3dDataModule)
+    _REGISTRY.setdefault("single-image-datamodule", SingleImageDataModule)
+    _REGISTRY.setdefault("multiview-camera-datamodule", MultiviewDataModule)
+
     from humangaussian_tpu.nerf import (
         DiffuseWithPointLightMaterial,
         ImplicitVolume,
