@@ -821,8 +821,20 @@ def _rasterize_impl(means, scales, quats, features, opacities, alive,
                         cs)
 
     if batched:
+        # static unroll, NOT vmap: a vmapped camera batch turns the two
+        # big binning sorts into [B, P] batched sorts whose XLA layout
+        # runs ~5x slower than the same sorts expressed 1-D; unrolling
+        # runs the (already fully vectorized) per-camera binning with
+        # the fast 1-D layouts, and the compositing kernel still gets
+        # one flattened B x tiles grid. (lax.map would also work but
+        # trips a Manual/Auto mesh check under shard_map.)
+        b_cams = jax.tree_util.tree_leaves(cameras)[0].shape[0]
+        per_cam = [
+            bin_cam(jax.tree.map(lambda x: x[i], cameras))
+            for i in range(b_cams)
+        ]
         (prims_b, fmat_b, order_b, skey_b, ckey_b, starts_b, counts_b,
-         ovf_b) = jax.vmap(bin_cam)(cameras)
+         ovf_b) = jax.tree.map(lambda *xs: jnp.stack(xs), *per_cam)
     else:
         outs = bin_cam(cameras)
         (prims_b, fmat_b, order_b, skey_b, ckey_b, starts_b, counts_b,
