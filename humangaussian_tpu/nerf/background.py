@@ -30,7 +30,9 @@ class SolidColorBackground(nn.Module):
         c = jnp.asarray(self.color, jnp.float32)
         if self.learned:
             c = self.param("env_color", lambda _: c)
-        return jnp.broadcast_to(c, dirs.shape[:-1] + (3,))
+        # len(color) may exceed 3 for latent-channel renderers
+        # (gan-volume-renderer pairs with hybrid-rgb-latent-material)
+        return jnp.broadcast_to(c, dirs.shape[:-1] + c.shape)
 
 
 class NeuralEnvironmentMapBackground(nn.Module):

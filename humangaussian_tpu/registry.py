@@ -147,3 +147,7 @@ def _register_builtins():
                          SDLatentAdapterMaterial)
     _REGISTRY.setdefault("hybrid-rgb-latent-material",
                          HybridRGBLatentMaterial)
+
+    from humangaussian_tpu.nerf.gan import GANVolumeRenderer
+
+    _REGISTRY.setdefault("gan-volume-renderer", GANVolumeRenderer)
