@@ -109,14 +109,14 @@ class ResnetBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb):
-        h = nn.GroupNorm(self.groups, epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
+        h = nn.GroupNorm(self.groups, epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
             nn.silu(temb)
         )
         h = h + t[:, None, None, :]
-        h = nn.GroupNorm(self.groups, epsilon=1e-5, dtype=jnp.float32, name="norm2")(h)
+        h = nn.GroupNorm(self.groups, epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_channels:
@@ -185,15 +185,15 @@ class BasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, context):
         dim = x.shape[-1]
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = x + Attention(
             self.heads, dim, None, self.dtype, self.use_flash, name="attn1"
         )(h)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         x = x + Attention(self.heads, dim, self.context_dim, self.dtype, name="attn2")(
             h, context
         )
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         return x + FeedForward(self.dtype, name="ff")(h)
 
 
@@ -209,7 +209,7 @@ class Transformer2D(nn.Module):
     def __call__(self, x, context):
         b, hh, ww, c = x.shape
         res = x
-        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
+        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         h = h.reshape(b, hh * ww, c)
         if self.use_linear_projection:
             h = nn.Dense(c, dtype=self.dtype, name="proj_in")(h)
@@ -321,7 +321,7 @@ class _OutputHead(nn.Module):
     def __call__(self, x):
         c = self.cfg
         x = nn.GroupNorm(
-            c.norm_num_groups, epsilon=1e-5, dtype=jnp.float32, name="conv_norm_out"
+            c.norm_num_groups, epsilon=1e-5, dtype=c.dtype, name="conv_norm_out"
         )(x)
         x = nn.silu(x)
         return nn.Conv(
