@@ -119,3 +119,4 @@ def fwd_kernel_only(x):
     out = rt._fwd_call(pair_t0 + x * 0, pr0.counts, starts_c0, tileid0, cs.s)
     return x + jnp.sum(out[::127, :, ::127]) * 1e-12
 chain("fwd kernel", fwd_kernel_only, jnp.zeros(()))
+
