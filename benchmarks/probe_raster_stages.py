@@ -16,20 +16,35 @@ rt = importlib.import_module("humangaussian_tpu.ops.rasterize_tiled")
 N = 100_000
 H = W = 1024
 ITERS = int(os.environ.get("ITERS", "20"))
-rng = jax.random.PRNGKey(0)
-ks = jax.random.split(rng, 6)
-means = jax.random.normal(ks[0], (N, 3)) * 0.8
-scales = jnp.log(jnp.abs(jax.random.normal(ks[1], (N, 3))) * 0.02 + 0.004)
-quats = jax.random.normal(ks[2], (N, 4))
-feats = jax.random.uniform(ks[3], (N, 1, 3))
-opas = jax.random.normal(ks[4], (N, 1)) * 0.5
+SCENE = os.environ.get("SCENE", "probe")
+if SCENE == "bench":
+    # mirror bench.py's fixture exactly (realistic SMPL-X-like scales)
+    nprng = np.random.RandomState(0)
+    means = jnp.asarray(nprng.randn(N, 3).astype(np.float32) * 0.5)
+    scales = jnp.asarray(
+        np.exp(nprng.randn(N, 3).astype(np.float32) * 0.5 - 5.0))
+    quats = jnp.asarray(nprng.randn(N, 4).astype(np.float32))
+    feats = jnp.asarray(nprng.randn(N, 1, 3).astype(np.float32) * 0.3)
+    opas = jnp.asarray((1 / (1 + np.exp(-nprng.randn(N, 1)))).astype(np.float32))
+    c2w = look_at_c2w(jnp.array([0.0, 0.0, 3.0]), jnp.zeros(3),
+                      jnp.array([0.0, 1.0, 0.0]))
+    cfg = RasterizeConfig(tile=32, max_tiles_per_gaussian=9, pair_factor=4)
+else:
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    means = jax.random.normal(ks[0], (N, 3)) * 0.8
+    scales = jnp.log(jnp.abs(jax.random.normal(ks[1], (N, 3))) * 0.02 + 0.004)
+    quats = jax.random.normal(ks[2], (N, 4))
+    feats = jax.random.uniform(ks[3], (N, 1, 3))
+    opas = jax.random.normal(ks[4], (N, 1)) * 0.5
+    c2w = look_at_c2w(jnp.array([0.0, -4.0, 0.0]), jnp.zeros(3),
+                      jnp.array([0.0, 0.0, 1.0]))
+    cfg = RasterizeConfig()
 alive = jnp.ones((N,), bool)
-c2w = look_at_c2w(jnp.array([0.0, -4.0, 0.0]), jnp.zeros(3),
-                  jnp.array([0.0, 0.0, 1.0]))
 cam = camera_from_c2w(c2w, 0.8, H, W)
 bg = jnp.zeros((3,))
-cfg = RasterizeConfig()
 TC = 4096
+# bench scene mirrors bench.py's packed-sort-friendly pair capacity
+PC = 392_704 if SCENE == "bench" else None
 
 
 def chain(name, fn, x0):
@@ -41,7 +56,7 @@ def chain(name, fn, x0):
     return dt
 
 
-cs = rt._core_statics(N, H, W, cfg, TC, None, False)
+cs = rt._core_statics(N, H, W, cfg, TC, PC, False)
 
 # stage 1: projection only
 def proj_only(m):
@@ -73,7 +88,7 @@ chain("projection+binning+pairbuild", proj_bin_build, means)
 # stage 4: full fwd
 def full_fwd(m):
     out = rt.rasterize_tiled(m, scales, quats, feats, opas, alive, cam, bg,
-                             0, cfg, tile_capacity=TC)
+                             0, cfg, tile_capacity=TC, pair_capacity=PC)
     return m + jnp.sum(out["image"]) * 1e-12
 chain("full fwd", full_fwd, means)
 
@@ -81,7 +96,8 @@ chain("full fwd", full_fwd, means)
 def full_fwdbwd(m):
     def loss(mm):
         out = rt.rasterize_tiled(mm, scales, quats, feats, opas, alive, cam,
-                                 bg, 0, cfg, tile_capacity=TC)
+                                 bg, 0, cfg, tile_capacity=TC,
+                                 pair_capacity=PC)
         return jnp.sum(out["image"]) + jnp.sum(out["depth"]) * 1e-3
     g = jax.grad(loss)(m)
     return m + g * 1e-12

@@ -51,8 +51,14 @@ once in XLA to pair-major rows, and each Gaussian gathers its <= R
 candidate rows back. The candidate -> page-row index (pos2) is computed
 entirely ELEMENTWISE over the sorted order (segment begins via cummax,
 segment ends via a reverse cummin) and carried back to candidate order
-as a payload sorted by the binning sort's saved permutation — ONE
-2-operand sort, paid only when gradients flow.
+keyed by the binning sort's saved permutation. When the bit budget
+allows (candidate bits + page bits <= 32, the common single-scene
+case), the carry-back runs as TWO packed single-operand u32 sorts per
+camera (the row index's 7-bit lane half and its page half each ride
+below the candidate key) — ~2.5x cheaper than a payload sort, since a
+payload operand roughly triples XLA's TPU sort cost at ~1M keys; larger
+configs fall back to ONE 2-operand (key, pos2) sort. Either way the
+sorts are paid only when gradients flow.
 
 Gradient semantics match jax.grad of the oracle (autodiff): the alpha
 clamp at 0.99 and the power<=0 gate zero their branches' gradients. (The
@@ -155,26 +161,31 @@ def _chunk_common(f, px, py, kc, count, s: CompositeStatics):
     )
 
 
-def _recurrence(c, log_t, done_f, s: CompositeStatics):
+def _recurrence(c, log_t_u, log_t_f, s: CompositeStatics):
     """Front-to-back recurrence for one chunk (see module docstring).
 
-    `log_t`/`done_f` are [PIX, 1] carried columns; the stop latch is
-    float (0/1) — Mosaic handles f32 scratch state more robustly than
-    i1 vectors."""
+    Two [PIX, 1] carried columns:
+      log_t_u — UNFROZEN log T: accumulates every passing pair, so it is
+        monotone non-increasing; "pixel not yet saturated at pair i"
+        is then simply u_before_i + log1ma_i >= log_eps, with no
+        separate per-pixel done latch (and no second prefix scan for
+        it): once a pixel crosses the threshold, adding further
+        non-positive log1ma terms can never raise it back (fp addition
+        is monotone), which IS the CUDA kernel's done-latch semantics.
+      log_t_f — FROZEN log T: accumulates only contributing pairs; this
+        is the T the CUDA kernel reports at saturation (the output alpha
+        and background blend use it)."""
     cum = _lane_cumsum(c["log1ma"], s.chunk)
-    log_t_before = log_t + cum - c["log1ma"]
-    trigger = c["pass_"] & (log_t_before + c["log1ma"] < s.log_eps)
-    done_upto = jnp.maximum(
-        done_f,
-        jnp.minimum(_lane_cumsum(trigger.astype(jnp.float32), s.chunk), 1.0),
-    )
-    contrib = c["pass_"] & (done_upto < 0.5)
-    w = jnp.where(contrib, jnp.exp(log_t_before) * c["alpha"], 0.0)
-    new_log_t = log_t + jnp.sum(
+    u_before = log_t_u + cum - c["log1ma"]
+    contrib = c["pass_"] & (u_before + c["log1ma"] >= s.log_eps)
+    # u_before == frozen log T for every contributing pair (they only
+    # diverge after saturation, where w is masked to zero anyway)
+    w = jnp.where(contrib, jnp.exp(u_before) * c["alpha"], 0.0)
+    new_u = log_t_u + cum[:, s.chunk - 1 : s.chunk]
+    new_f = log_t_f + jnp.sum(
         jnp.where(contrib, c["log1ma"], 0.0), axis=1, keepdims=True
     )
-    new_done = done_upto[:, s.chunk - 1 : s.chunk]
-    return w, contrib, log_t_before, new_log_t, new_done
+    return w, contrib, u_before, new_u, new_f
 
 
 def _feat_matrix(f, s: CompositeStatics):
@@ -213,10 +224,10 @@ def _read_dma(pairs_hbm, buf, sem, base, kc, slot, s):
 
 def _fwd_kernel(
     counts_ref, starts_ref, tileid_ref, pairs_hbm, out_ref,
-    buf, logt_ref, done_ref, acc_ref, sem, *, s: CompositeStatics,
+    buf, logt_ref, logtu_ref, acc_ref, sem, *, s: CompositeStatics,
 ):
-    """Per-pixel loop state (log T, stop latch, accumulators) lives in
-    VMEM scratch, not loop carries — carrying ~130 vector registers
+    """Per-pixel loop state (frozen/unfrozen log T, accumulators) lives
+    in VMEM scratch, not loop carries — carrying ~130 vector registers
     through an scf loop trips Mosaic layout bugs and costs moves."""
     ti = pl.program_id(0)
     count = counts_ref[ti]
@@ -228,7 +239,7 @@ def _fwd_kernel(
     px, py = _pixel_coords(t, s)
 
     logt_ref[:, :] = jnp.zeros((s.pix, 1), jnp.float32)
-    done_ref[:, :] = jnp.zeros((s.pix, 1), jnp.float32)
+    logtu_ref[:, :] = jnp.zeros((s.pix, 1), jnp.float32)
     acc_ref[:, :] = jnp.zeros((8, s.pix), jnp.float32)
 
     @pl.when(nlive > 0)
@@ -252,8 +263,8 @@ def _fwd_kernel(
 
         f = _lane_shift(buf[slot], off, s)  # [NF, G]
         c = _chunk_common(f, px, py, kc, count, s)
-        w, _contrib, _ltb, new_log_t, new_done = _recurrence(
-            c, logt_ref[:, :], done_ref[:, :], s
+        w, _contrib, _ub, new_u, new_f = _recurrence(
+            c, logtu_ref[:, :], logt_ref[:, :], s
         )
         acc_ref[:, :] += jax.lax.dot_general(
             _feat_matrix(f, s),
@@ -263,12 +274,15 @@ def _fwd_kernel(
         )  # [8, PIX] — channel-major so the 1024-wide pixel axis is the
         # minor (lane) dim of the output; a [.., PIX, 8] layout would be
         # lane-padded 8->128 by XLA (16x HBM) at training batch sizes
-        logt_ref[:, :] = new_log_t
-        done_ref[:, :] = new_done
+        logt_ref[:, :] = new_f
+        logtu_ref[:, :] = new_u
         # whole-tile early stop: every pixel saturated => remaining
         # (deeper) pairs are invisible. CUDA does this per pixel; one
-        # latched flag per tile is the vectorized equivalent.
-        all_done = jnp.sum(new_done) > (s.pix - 0.5)
+        # flag per tile is the vectorized equivalent. Saturation is read
+        # off the unfrozen log T (monotone), no latch state needed.
+        all_done = jnp.sum(
+            (new_u < s.log_eps).astype(jnp.float32)
+        ) > (s.pix - 0.5)
         return kc + 1, all_done
 
     kfin, stopped = jax.lax.while_loop(
@@ -295,7 +309,7 @@ def _fwd_kernel(
 
 def _bwd_kernel(
     counts_ref, starts_ref, tileid_ref, pagestart_ref, pairs_hbm, gvec_ref,
-    _zeros_hbm, dpaged_hbm, buf, wbuf, logt_ref, done_ref, prefix_ref,
+    _zeros_hbm, dpaged_hbm, buf, wbuf, done_ref, prefix_ref,
     sem, wsem, *, s: CompositeStatics,
 ):
     ti = pl.program_id(0)
@@ -310,7 +324,6 @@ def _bwd_kernel(
     g8t = gvec_ref[0]  # [8, PIX]: rows 0-4 output cotangents, row 5 = S
     svec = g8t[5:6, :].reshape(s.pix, 1)
 
-    logt_ref[:, :] = jnp.zeros((s.pix, 1), jnp.float32)
     done_ref[:, :] = jnp.zeros((s.pix, 1), jnp.float32)
     prefix_ref[:, :] = jnp.zeros((s.pix, 1), jnp.float32)
 
@@ -349,8 +362,10 @@ def _bwd_kernel(
 
         f = _lane_shift(buf[slot], off, s)
         c = _chunk_common(f, px, py, kc, count, s)
-        w, contrib, log_t_before, new_log_t, new_done = _recurrence(
-            c, logt_ref[:, :], done_ref[:, :], s
+        # the frozen log T is not needed in the backward (no image
+        # output); pass u for both carries and ignore new_f
+        w, contrib, log_t_before, new_u, _new_f = _recurrence(
+            c, done_ref[:, :], done_ref[:, :], s
         )
         featm = _feat_matrix(f, s)  # [8, G]; rows 5-7 zero => S excluded
         phi = jax.lax.dot_general(
@@ -397,12 +412,13 @@ def _bwd_kernel(
         )  # [NF, G]
         wdma(slot, kc).start()
 
-        logt_ref[:, :] = new_log_t
-        done_ref[:, :] = new_done
+        done_ref[:, :] = new_u  # unfrozen log T doubles as done state
         prefix_ref[:, :] = prefix_ref[:, :] + jnp.sum(
             wphi, axis=1, keepdims=True
         )
-        all_done = jnp.sum(new_done) > (s.pix - 0.5)
+        all_done = jnp.sum(
+            (new_u < s.log_eps).astype(jnp.float32)
+        ) > (s.pix - 0.5)
         return kc + 1, all_done
 
     kfin, stopped = jax.lax.while_loop(
@@ -468,8 +484,7 @@ def _bwd_call(pair_feats, counts, starts, tileid, pagestart, gvec, c_cap,
         scratch_shapes=[
             pltpu.VMEM((2, _NF, _WIN), jnp.float32),  # read buffer
             pltpu.VMEM((2, _NF, s.chunk), jnp.float32),  # write buffer
-            pltpu.VMEM((s.pix, 1), jnp.float32),  # log T
-            pltpu.VMEM((s.pix, 1), jnp.float32),  # stop latch
+            pltpu.VMEM((s.pix, 1), jnp.float32),  # unfrozen log T
             pltpu.VMEM((s.pix, 1), jnp.float32),  # prefix sum(w*phi)
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -552,19 +567,54 @@ def _pos2_candidate_order(sorted_key, perm, r, p_cap, c_cap, k_cap,
     offset = flat_idx - seg_begin
     valid = (offset < cnt) & (t_p < num_tiles)
     zero_row = b * c_cap * 128 - 1  # last (guard) page, never written
-    page = (begin_c >> 7) + t_p + cam * c_cap
-    pos2_sorted = jnp.where(valid, page * 128 + offset, zero_row)
+    page = (begin_c >> 7) + t_p  # camera-local first page of the tile
 
-    # carry pos2 back to candidate order as a payload of the inverse
-    # permutation; `perm` (sorted -> original candidate index) comes
-    # from the forward binning sort, so no key re-sort is needed here.
+    # carry pos2 back to candidate order — a permutation inversion keyed
+    # by the candidate index recovered from the binning sort's perm.
     # The target order is J-MAJOR (slot-major: j * n + rank) rather than
     # the natural rank-major candidate index: the per-Gaussian reduce
     # then sums r contiguous [N, 16] blocks instead of a strided
     # [N, r, 16] view, which costs a full-array relayout copy.
     pm = perm.reshape(tot)
     n = p // r
-    keys = cam * p + (pm % r) * n + pm // r
+    cand = (pm % r) * n + pm // r  # [0, P) per camera
+
+    # packed fast path: the camera-local row index pos2_c = page*128 +
+    # offset (< c_cap*128) is split into a 7-bit lane half and a
+    # page-count-bit high half, each packed under the candidate index in
+    # ONE u32 key — TWO single-operand sorts per camera, ~2.5x cheaper
+    # than the equivalent 2-operand payload sort at ~1M keys (a payload
+    # operand roughly triples XLA's TPU sort cost).
+    cand_bits = max((p - 1).bit_length(), 1)
+    page_bits = max(c_cap.bit_length(), 1)  # sentinel (1<<pb)-1 >= c_cap
+    if cand_bits + page_bits <= 32:
+        pos2_c = page * 128 + offset  # camera-local row index
+        hi = pos2_c >> 7
+        lo = pos2_c & 127
+        sent = (1 << page_bits) - 1
+        hi_k = jnp.where(valid, hi, sent).astype(jnp.uint32)
+        ka = (cand.astype(jnp.uint32) << page_bits) | hi_k
+        kb = (cand.astype(jnp.uint32) << 7) | lo.astype(jnp.uint32)
+        parts = []
+        for ci in range(b):  # unrolled: per-camera 1-D sorts
+            sa = jax.lax.sort(ka[ci * p : (ci + 1) * p])
+            sb = jax.lax.sort(kb[ci * p : (ci + 1) * p])
+            hi_c = (sa & jnp.uint32(sent)).astype(jnp.int32)
+            lo_c = (sb & jnp.uint32(127)).astype(jnp.int32)
+            parts.append(
+                jnp.where(
+                    hi_c == sent,
+                    zero_row,
+                    (ci * c_cap * 128) + hi_c * 128 + lo_c,
+                )
+            )
+        return jnp.concatenate(parts) if b > 1 else parts[0]
+
+    # fallback: camera-flat 2-operand payload sort
+    pos2_sorted = jnp.where(
+        valid, (page + cam * c_cap) * 128 + offset, zero_row
+    )
+    keys = cam * p + cand
     _, pos2_cand = jax.lax.sort((keys, pos2_sorted), num_keys=1)
     return pos2_cand  # [B*P] int32, (camera, j-major candidate) order
 
