@@ -70,7 +70,8 @@ def make_dp_train_step(system, mesh: Mesh, axis: str = "data"):
     replicated = P()
     batch_first = P(axis)
 
-    def sharded_grads(scene, cameras, pose, text3, t, k_guid, step, guidance):
+    def sharded_grads(scene, cameras, pose, text3, t, k_guid, step, guidance,
+                      active_cap=None):
         params = scene.params()
         offset = jnp.zeros((system.cfg.capacity, 2), jnp.float32)
         sample_idx = jnp.arange(b, dtype=jnp.int32)
@@ -81,6 +82,7 @@ def make_dp_train_step(system, mesh: Mesh, axis: str = "data"):
                     params, offset, scene, cameras, pose, text3, t,
                     k_guid, step, axis_name=axis, n_shards=n, global_batch=b,
                     sample_idx=sample_idx, guidance=guidance,
+                    active_cap=active_cap,
                 )
 
             (loss, aux), grads = jax.value_and_grad(
@@ -116,14 +118,15 @@ def make_dp_train_step(system, mesh: Mesh, axis: str = "data"):
             check_rep=False,
         )(cameras, pose, text3, t, sample_idx, guidance)
 
-    @jax.jit
-    def _dp_train_step(state: TrainState, guidance):
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def _dp_train_step(state: TrainState, guidance, active_cap=None):
         cfg = system.cfg
         key, k_guid, cameras, pose, text3, t = system.sample_step_inputs(state)
         step = state.step
 
         loss, aux, param_grads, means2d_grad = sharded_grads(
-            state.scene, cameras, pose, text3, t, k_guid, step, guidance
+            state.scene, cameras, pose, text3, t, k_guid, step, guidance,
+            active_cap,
         )
 
         visible = aux["radii"] > 0
@@ -160,7 +163,7 @@ def make_dp_train_step(system, mesh: Mesh, axis: str = "data"):
             metrics,
         )
 
-    def dp_train_step(state: TrainState):
-        return _dp_train_step(state, system.guidance)
+    def dp_train_step(state: TrainState, active_cap=None):
+        return _dp_train_step(state, system.guidance, active_cap)
 
     return dp_train_step

@@ -87,17 +87,30 @@ def build_pair_lists(
     capacity: int,
     cfg: RasterizeConfig,
     pair_capacity: int | None = None,
+    active_cap: int | None = None,
 ) -> PairLists:
     """Packed-key pair sort (see module docstring).
 
     `pair_capacity` additionally caps the TOTAL live pairs (the size of
     the compacted pair-feature array the consumer gathers); segments
-    past the budget are truncated and reported in `overflow`."""
+    past the budget are truncated and reported in `overflow`.
+
+    `active_cap` (static) truncates the candidate domain to the first
+    `active_cap` depth ranks. The depth sort puts invisible (padded or
+    culled) Gaussians last, so with a padded scene of capacity N and
+    n_alive visible Gaussians, active_cap >= n_alive drops nothing while
+    shrinking EVERY P-proportional stage (the candidate sort here and
+    the carry-back sorts + gathers in the rasterizer VJP) by N/active_cap
+    — the padding slots stop costing sort passes. Visible Gaussians
+    beyond the cap are dropped whole and counted in `overflow` (one per
+    Gaussian); callers re-specialize with a larger bucket when the alive
+    count approaches the cap (train/loop.py)."""
     n = prims.depths.shape[0]
+    n_cap = n if active_cap is None else min(active_cap, n)
     num_tiles = tiles_x * tiles_y
     side = cfg.rect_side
     r = side * side
-    rank_bits = max((n - 1).bit_length(), 1)
+    rank_bits = max((n_cap - 1).bit_length(), 1)
     j_bits = max((r - 1).bit_length(), 1)
     # single-operand layout needs tile|rank|j in 32 bits (unsigned)
     packed_j = (num_tiles + 1) << (rank_bits + j_bits) <= (1 << 32)
@@ -108,10 +121,14 @@ def build_pair_lists(
         )
 
     order = depth_order(prims.visible, prims.depths)
-    rect = prims.rect[order]  # [N,4] x0,y0,x1,y1 (tile units)
-    vis = prims.visible[order]
+    order_c = order[:n_cap]
+    rect = prims.rect[order_c]  # [n_cap,4] x0,y0,x1,y1 (tile units)
+    vis = prims.visible[order_c]
+    cap_dropped = (
+        jnp.sum(prims.visible) - jnp.sum(vis) if n_cap < n else jnp.int32(0)
+    )
 
-    # expand rect -> candidate tiles [N, side, side]
+    # expand rect -> candidate tiles [n_cap, side, side]
     dy = jnp.arange(side, dtype=jnp.int32)
     dx = jnp.arange(side, dtype=jnp.int32)
     ty = rect[:, 1, None, None] + dy[None, :, None]  # [N, side, 1]
@@ -120,7 +137,7 @@ def build_pair_lists(
     valid = in_rect & vis[:, None, None]
     tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles)  # sentinel last
 
-    rank = jnp.arange(n, dtype=jnp.int32)[:, None, None]
+    rank = jnp.arange(n_cap, dtype=jnp.int32)[:, None, None]
     if packed_j:
         # j (candidate slot in the rect) rides the low bits, so the
         # backward's candidate index perm = rank * r + j is elementwise
@@ -132,7 +149,7 @@ def build_pair_lists(
             | (rank.astype(jnp.uint32) << j_bits)
             | j_idx
         )
-        sorted_u = jax.lax.sort(keys.reshape(n * r))
+        sorted_u = jax.lax.sort(keys.reshape(n_cap * r))
         rank_s = (sorted_u >> j_bits) & jnp.uint32((1 << rank_bits) - 1)
         j_s = sorted_u & jnp.uint32((1 << j_bits) - 1)
         perm = (rank_s * jnp.uint32(r) + j_s).astype(jnp.int32)
@@ -142,7 +159,7 @@ def build_pair_lists(
     else:
         keys = (tile_id << rank_bits) | rank
         sorted_key, perm = jax.lax.sort(
-            (keys.reshape(n * r), jnp.arange(n * r, dtype=jnp.int32)),
+            (keys.reshape(n_cap * r), jnp.arange(n_cap * r, dtype=jnp.int32)),
             num_keys=1,
         )
         tiles_sorted = sorted_key >> rank_bits
@@ -156,7 +173,7 @@ def build_pair_lists(
     if pair_capacity is not None:
         budget = pair_capacity - jnp.minimum(starts[:-1], pair_capacity)
         counts = jnp.minimum(counts, budget)
-    overflow = jnp.sum(seg_len - counts)
+    overflow = jnp.sum(seg_len - counts) + cap_dropped
     return PairLists(
         order=order,
         sorted_rank=sorted_rank,

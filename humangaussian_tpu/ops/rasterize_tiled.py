@@ -632,12 +632,13 @@ class _CoreStatics(NamedTuple):
     k_cap: int  # tile_capacity
     rank_bits: int
     num_tiles: int
+    n_cap: int  # active depth-rank cap (candidate domain size // r)
 
 
 def _build_pair_t(fmat, order, sorted_key, cs: _CoreStatics):
     """[N,16] features -> feature-major [16, lanes] compacted pair array
     for ONE camera."""
-    fmat_sorted = fmat[order]
+    fmat_sorted = fmat[order[: cs.n_cap]]
     rank = sorted_key[: cs.p_cap] & ((1 << cs.rank_bits) - 1)
     pf = fmat_sorted[rank]  # [p_cap, 16]
     pf_t = pf.T  # [16, p_cap]
@@ -729,16 +730,18 @@ def _render_core_bwd(cs: _CoreStatics, tile_shard, res, g_out):
 
     # candidate-order gather + per-Gaussian reduce, all camera-flat 1-D
     # (vmapped sorts get a hostile [1,P] layout — see _pos2_candidate_order)
-    r = perm.shape[1] // n
+    r = perm.shape[1] // cs.n_cap
     pos2 = _pos2_candidate_order(
         sorted_key, perm, r, cs.p_cap, cs.c_cap, cs.k_cap, cs.rank_bits,
         cs.num_tiles,
     )  # [B*P], j-major per camera
     dpr = dpair_rows[pos2]  # [B*P, 16]
-    # j-major: sum r contiguous [N, 16] blocks per camera (no relayout)
-    dsorted = jnp.sum(dpr.reshape(b, r, n, _NF), axis=1).reshape(
-        b * n, _NF
-    )  # [B*N, 16]
+    # j-major: sum r contiguous [n_cap, 16] blocks per camera (no
+    # relayout); ranks beyond the active cap got no candidates -> zero
+    dsorted = jnp.sum(dpr.reshape(b, r, cs.n_cap, _NF), axis=1)
+    if cs.n_cap < n:
+        dsorted = jnp.pad(dsorted, ((0, 0), (0, n - cs.n_cap), (0, 0)))
+    dsorted = dsorted.reshape(b * n, _NF)  # [B*N, 16]
     # inverse of the depth order, batch-flat
     iota_bn = jnp.arange(b * n, dtype=jnp.int32)
     okeys = (iota_bn // n) * n + order.reshape(b * n)
@@ -801,17 +804,21 @@ def _make_statics(h, w, cfg: RasterizeConfig, interpret):
     )
 
 
-def _core_statics(n, h, w, cfg, tile_capacity, pair_capacity, interpret):
+def _core_statics(n, h, w, cfg, tile_capacity, pair_capacity, interpret,
+                  active_cap=None):
     s = _make_statics(h, w, cfg, interpret)
     if tile_capacity % 128:
         raise ValueError("tile_capacity must be a multiple of 128")
-    p_cap = _resolve_pair_capacity(n, cfg.rect_side**2, cfg, pair_capacity)
+    n_cap = n if active_cap is None else min(active_cap, n)
+    p_cap = _resolve_pair_capacity(n_cap, cfg.rect_side**2, cfg,
+                                   pair_capacity)
     num_tiles = s.tiles_x * s.tiles_y
     lanes = -(-(p_cap + 2 * _WIN) // 128) * 128
     c_cap = p_cap // 128 + num_tiles + 2  # +guard pages (incl. zero row)
     return _CoreStatics(
         s=s, p_cap=p_cap, lanes=lanes, c_cap=c_cap, k_cap=tile_capacity,
-        rank_bits=max((n - 1).bit_length(), 1), num_tiles=num_tiles,
+        rank_bits=max((n_cap - 1).bit_length(), 1), num_tiles=num_tiles,
+        n_cap=n_cap,
     )
 
 
@@ -838,6 +845,7 @@ def _bin_one(means, scales, quats, features, opacities, alive, camera,
     pairs = build_pair_lists(
         prims, cs.s.tiles_x, cs.s.tiles_y, cs.k_cap, cfg,
         pair_capacity=cs.p_cap,
+        active_cap=cs.n_cap,
     )
     fmat = _feature_matrix(prims)
     starts_c = jnp.minimum(pairs.starts[:-1], cs.p_cap)
@@ -860,10 +868,11 @@ def _finish(acc_b, prims_b, overflow, background, cs, h, w, batched):
 def _rasterize_impl(means, scales, quats, features, opacities, alive,
                     cameras, background, sh_degree, cfg, scale_modifier,
                     means2d_offset, tile_capacity, pair_capacity, interpret,
-                    tile_shard, batched):
+                    tile_shard, batched, active_cap=None):
     h, w = cameras.height, cameras.width
     n = means.shape[0]
-    cs = _core_statics(n, h, w, cfg, tile_capacity, pair_capacity, interpret)
+    cs = _core_statics(n, h, w, cfg, tile_capacity, pair_capacity, interpret,
+                       active_cap)
 
     def bin_cam(cam):
         return _bin_one(means, scales, quats, features, opacities, alive,
@@ -917,11 +926,18 @@ def rasterize_tiled(
     pair_capacity: int | None = None,
     interpret: bool | None = None,
     tile_shard=None,  # (Mesh, axis_name): shard the tile grid across chips
+    active_cap: int | None = None,  # static cap on candidate depth ranks
 ):
     """Tiled Pallas render. Same contract as rasterize_reference (and the
     reference render(): gaussian_renderer/__init__.py:98-104): dict with
     image [H,W,3], depth [H,W], alpha [H,W], radii [N] int32, visible [N],
     plus pair-buffer `overflow` diagnostics.
+
+    `active_cap` (static) truncates the candidate domain to the first
+    active_cap depth ranks (invisible/padding Gaussians sort last, so a
+    cap >= the alive count drops nothing) — the lever that keeps padded
+    training scenes (capacity >> alive) from paying capacity-sized
+    sorts. See binning.build_pair_lists.
 
     `tile_shard=(mesh, axis)` runs the compositing grid sequence-parallel
     over the pixel-tile axis (SURVEY.md §5.7: "sequence parallelism over
@@ -932,6 +948,7 @@ def rasterize_tiled(
         means, scales, quats, features, opacities, alive, camera,
         background, sh_degree, cfg, scale_modifier, means2d_offset,
         tile_capacity, pair_capacity, interpret, tile_shard, batched=False,
+        active_cap=active_cap,
     )
 
 
@@ -952,6 +969,7 @@ def rasterize_tiled_batch(
     pair_capacity: int | None = None,
     interpret: bool | None = None,
     tile_shard=None,
+    active_cap: int | None = None,
 ):
     """Batched render over B cameras sharing one Gaussian scene.
 
@@ -964,4 +982,5 @@ def rasterize_tiled_batch(
         means, scales, quats, features, opacities, alive, cameras,
         background, sh_degree, cfg, scale_modifier, means2d_offset,
         tile_capacity, pair_capacity, interpret, tile_shard, batched=True,
+        active_cap=active_cap,
     )

@@ -50,6 +50,19 @@ def snapshot_code(save_dir: str) -> str | None:
     return dst_root
 
 
+def active_rank_bucket(alive: int, capacity: int) -> int | None:
+    """Power-of-two candidate-domain cap for the rasterizer, >= the
+    alive count with ~5% headroom. None (= full capacity) once the
+    scene approaches capacity. Each distinct bucket costs one extra
+    train-step compilation, so buckets are powers of two — at most a
+    handful of recompiles as densification grows the scene, in exchange
+    for candidate sorts sized by the live scene instead of the padded
+    capacity (ops/binning.build_pair_lists)."""
+    want = max(int(alive * 1.05) + 1, 1 << 15)
+    bucket = 1 << (want - 1).bit_length()
+    return None if bucket >= capacity else bucket
+
+
 def run_training(
     system,
     state,
@@ -72,10 +85,26 @@ def run_training(
     t_last = t_start
     start_step = int(state.step)
 
+    alive_now = int(np.asarray(jax.device_get(state.scene.alive.sum())))
+    bucket = active_rank_bucket(alive_now, cfg.capacity)
+
     for _ in range(start_step, max_steps):
-        state, metrics = system.train_step(state)
+        state, metrics = system.train_step(state, bucket)
         state, dens_info = system.maybe_densify(state)
         step = int(state.step)
+        if dens_info is not None:
+            # alive count only changes at densify/prune events; resize
+            # the candidate-domain bucket (a new bucket re-specializes
+            # the jitted step once)
+            alive_now = int(np.asarray(jax.device_get(
+                state.scene.alive.sum())))
+            new_bucket = active_rank_bucket(alive_now, cfg.capacity)
+            if new_bucket != bucket:
+                log_fn(
+                    f"step {step}: active-rank bucket {bucket} -> "
+                    f"{new_bucket} (alive={alive_now})"
+                )
+                bucket = new_bucket
 
         if progress_path:
             # the reference's ProgressCallback writes a percentage file

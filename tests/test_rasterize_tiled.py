@@ -198,3 +198,53 @@ class TestGatherVJPEdgeCases:
 
         g = jax.grad(loss)(params[0])
         np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-8)
+
+
+class TestActiveCap:
+    """active_cap truncates the candidate domain to live depth ranks
+    (ops/binning.py): a cap covering every visible Gaussian must be a
+    no-op for outputs AND gradients; a cap below the visible count drops
+    the deepest Gaussians whole and reports them in overflow."""
+
+    def test_cap_above_visible_is_identity(self):
+        params = make_scene(n=300, n_dead=120)
+        cam = make_camera()
+        bg = jnp.zeros(3)
+
+        def loss(fn, **kw):
+            means = params[0]
+
+            def f(m):
+                p = (m,) + params[1:]
+                out = run(fn, p, cam, bg, **kw)
+                return (
+                    jnp.sum(out["image"] * jnp.cos(jnp.arange(3.0)))
+                    + jnp.sum(out["depth"]) * 1e-3,
+                    out,
+                )
+
+            (val, out), g = jax.value_and_grad(f, has_aux=True)(means)
+            return val, out, g
+
+        v0, out0, g0 = loss(rasterize_tiled)
+        # 256 >= the 180 alive (visible <= alive) -> identical program
+        v1, out1, g1 = loss(rasterize_tiled, active_cap=256)
+        np.testing.assert_allclose(v0, v1, rtol=1e-6)
+        np.testing.assert_allclose(out0["image"], out1["image"], atol=1e-6)
+        np.testing.assert_allclose(g0, g1, atol=1e-6)
+        assert int(out1["overflow"]) == int(out0["overflow"])
+
+    def test_cap_below_visible_reports_overflow(self):
+        params = make_scene(n=300, n_dead=0)
+        cam = make_camera()
+        bg = jnp.zeros(3)
+        out_full = run(rasterize_tiled, params, cam, bg)
+        n_vis = int(jnp.sum(out_full["visible"]))
+        assert n_vis > 64
+        out_cap = run(rasterize_tiled, params, cam, bg, active_cap=64)
+        # every visible Gaussian beyond the cap is counted (at least
+        # once) in overflow
+        assert int(out_cap["overflow"]) >= n_vis - 64
+        # the closest 64 still render: image finite, alpha nonzero
+        assert bool(jnp.isfinite(out_cap["image"]).all())
+        assert float(jnp.max(out_cap["alpha"])) > 0.0
