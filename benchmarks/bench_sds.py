@@ -38,7 +38,8 @@ print(f"unet params: {n_params/1e6:.1f}M", flush=True)
 guidance = DualBranchGuidance(
     unet=unet, unet_params=up, vae=vae, vae_params=vp,
     schedule=DiffusionSchedule.create(),
-    cfg=GuidanceConfig(latent_size=64, image_size=512),
+    cfg=GuidanceConfig(latent_size=64, image_size=512,
+                       remat_encode=os.environ.get("REMAT", "0") == "1"),
 )
 emb = PromptEmbeddings(
     text_vd=jax.random.normal(rng, (4, 77, 1024)),
@@ -51,8 +52,12 @@ system = GaussianDreamerSystem(
     GaussianDreamerConfig(capacity=1 << 17, pts_num=100_000),
     skel, guidance, emb,
     camera_cfg=RandomCameraConfig(batch_size=8, height=1024, width=1024),
-    raster_cfg=RasterizeConfig(tile=32, max_tiles_per_gaussian=9,
-                               pair_factor=4),
+    # 2x2 tile rect (16 px splat radius cap): training-time default —
+    # init splats are ~7-9 px, and the economical rect halves the
+    # candidate domain that dominates the render backward
+    # (configs/avatar.yaml rasterizer note); eval renders keep 3x3.
+    raster_cfg=RasterizeConfig(tile=32, max_tiles_per_gaussian=4,
+                               pair_factor=int(os.environ.get("PF", "3"))),
 )
 state = system.init_state(rng)
 print("state ready; compiling train_step...", flush=True)

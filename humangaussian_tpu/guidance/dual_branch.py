@@ -79,6 +79,9 @@ class GuidanceConfig:
     guidance_rescale: float = 0.0
     latent_size: int = 64
     image_size: int = 512
+    remat_encode: bool = True  # recompute VAE encoder in the backward:
+    # saves ~1GB-class conv activations at 512^2 x batch for one extra
+    # encoder forward (~45 ms at batch 8); turn off when HBM allows
 
 
 @flax.struct.dataclass
@@ -378,12 +381,13 @@ class DualBranchGuidance:
         def resize(x):
             return jax.image.resize(x, (b, s, s, 3), "bilinear")
 
-        # remat the VAE encodes: their conv activations at 512^2 x batch
-        # dominate backward HBM (1GB-class f32 temps); recomputing the
-        # encoder in the backward trades ~ms for gigabytes
-        encode = jax.checkpoint(
-            lambda img, key: self.encode_images(img, key, sample_idx)
-        )
+        # remat the VAE encodes (cfg.remat_encode): their conv
+        # activations at 512^2 x batch dominate backward HBM (1GB-class
+        # temps); recomputing the encoder in the backward trades one
+        # extra encoder forward for gigabytes
+        encode = lambda img, key: self.encode_images(img, key, sample_idx)
+        if self.cfg.remat_encode:
+            encode = jax.checkpoint(encode)
         latents = encode(resize(rgb), k_rgb)
         depth_latents = encode(resize(depth), k_depth)
         depth_latents = (

@@ -169,10 +169,11 @@ class GaussianDreamerSystem:
     # ---- rendering ----------------------------------------------------
     def render_batch(self, scene: GaussianScene, cameras: CameraBatch,
                      height: int, width: int, background=None,
-                     means2d_offset=None, active_cap=None):
+                     means2d_offset=None, active_cap=None, raster_cfg=None):
         """vmapped tiled render over the camera batch. Returns dict of
         stacked images plus radii [B, C]."""
         bg = self.background if background is None else background
+        rcfg = self.raster_cfg if raster_cfg is None else raster_cfg
         if means2d_offset is None:
             means2d_offset = jnp.zeros((scene.capacity, 2), jnp.float32)
 
@@ -182,7 +183,7 @@ class GaussianDreamerSystem:
             )(cameras.c2w, cameras.fovy)
             return rasterize_tiled_batch(
                 means, scales, quats, feats, opas, scene.alive, cams, bg,
-                self.cfg.sh_degree, self.raster_cfg, means2d_offset=off,
+                self.cfg.sh_degree, rcfg, means2d_offset=off,
                 tile_capacity=self.cfg.tile_capacity,
                 active_cap=active_cap,
             )
@@ -485,10 +486,20 @@ class GaussianDreamerSystem:
     # ---- eval ---------------------------------------------------------
     def render_eval(self, scene: GaussianScene, split: str = "val",
                     background=None):
-        """Orbit renders (validation_step/test_step, :410-559)."""
+        """Orbit renders (validation_step/test_step, :410-559).
+
+        Eval always renders with the full 3x3 tile rect (32 px splat
+        radius) even when the TRAINING config runs the economical 2x2
+        rect (16 px cap, configs/avatar.yaml rasterizer note): output
+        artifacts keep full splat extents regardless of the training
+        speed/fidelity trade."""
         cams = eval_camera_batch(self.camera_cfg, split)
+        rcfg = self.raster_cfg
+        if rcfg.max_tiles_per_gaussian < 9:
+            rcfg = dataclasses.replace(rcfg, max_tiles_per_gaussian=9)
         out = self.render_batch(
             scene, cams, self.camera_cfg.eval_height,
             self.camera_cfg.eval_width, background=background,
+            raster_cfg=rcfg,
         )
         return out, cams
