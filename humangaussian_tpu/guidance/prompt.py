@@ -294,11 +294,19 @@ def hf_clip_encode_fn(model_path: str) -> Callable[[list[str]], np.ndarray]:
             enc_path if os.path.isdir(enc_path) else model_path
         )
         encoder.eval()
+        # tokenizer.model_max_length defaults to a sentinel ~1e30 when
+        # the checkpoint ships no tokenizer_config (it then overflows
+        # transformers' enable_truncation); the text model's own
+        # position-embedding count is the real limit either way
+        max_len = min(
+            int(tokenizer.model_max_length),
+            int(encoder.config.max_position_embeddings),
+        )
         with torch.no_grad():
             tokens = tokenizer(
                 prompts,
                 padding="max_length",
-                max_length=tokenizer.model_max_length,
+                max_length=max_len,
                 truncation=True,
                 return_tensors="pt",
             )

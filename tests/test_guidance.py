@@ -100,6 +100,40 @@ class TestPromptDirections:
         np.testing.assert_allclose(out[2], emb.uncond_vd[1])  # neg front
         np.testing.assert_allclose(out[4], 9.0)  # null segment
 
+    def test_hf_clip_encode_without_model_max_length(self, tmp_path):
+        # regression: a checkpoint whose tokenizer ships no
+        # model_max_length leaves the transformers ~1e30 sentinel in
+        # place, which used to overflow enable_truncation; the encoder
+        # must clamp to the text model's own position-embedding count
+        pytest.importorskip("torch")
+        import json as _json
+
+        from transformers import CLIPTextConfig, CLIPTextModel, CLIPTokenizer
+
+        from humangaussian_tpu.guidance.prompt import hf_clip_encode_fn
+
+        cfg = CLIPTextConfig(
+            vocab_size=100, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=64,
+            max_position_embeddings=77)
+        CLIPTextModel(cfg).save_pretrained(str(tmp_path / "text_encoder"))
+        tok_dir = tmp_path / "tokenizer"
+        tok_dir.mkdir()
+        vocab = {"<|startoftext|>": 0, "<|endoftext|>": 1}
+        for c in "abcdefghijklmnopqrstuvwxyz":
+            vocab[c] = len(vocab)
+            vocab[c + "</w>"] = len(vocab)
+        (tok_dir / "vocab.json").write_text(_json.dumps(vocab))
+        (tok_dir / "merges.txt").write_text("#version: 0.2\n")
+        tok = CLIPTokenizer(str(tok_dir / "vocab.json"),
+                            str(tok_dir / "merges.txt"))
+        tok.save_pretrained(str(tok_dir))
+        assert tok.model_max_length > 1e12  # the sentinel is present
+
+        out = hf_clip_encode_fn(str(tmp_path))(["a test avatar", "ab"])
+        assert out.shape == (2, 77, 32)
+        assert np.isfinite(out).all()
+
 
 def make_guidance():
     rng = jax.random.PRNGKey(0)
