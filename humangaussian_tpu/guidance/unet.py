@@ -36,6 +36,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from humangaussian_tpu.ops.groupnorm import GroupNormAct
+
 
 @dataclasses.dataclass(frozen=True)
 class UNetConfig:
@@ -109,15 +111,15 @@ class ResnetBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb):
-        h = nn.GroupNorm(self.groups, epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNormAct(self.groups, epsilon=1e-5, dtype=self.dtype,
+                         silu=True, name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
             nn.silu(temb)
         )
         h = h + t[:, None, None, :]
-        h = nn.GroupNorm(self.groups, epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNormAct(self.groups, epsilon=1e-5, dtype=self.dtype,
+                         silu=True, name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
@@ -209,7 +211,8 @@ class Transformer2D(nn.Module):
     def __call__(self, x, context):
         b, hh, ww, c = x.shape
         res = x
-        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        h = GroupNormAct(self.groups, epsilon=1e-6, dtype=self.dtype,
+                         name="norm")(x)
         h = h.reshape(b, hh * ww, c)
         if self.use_linear_projection:
             h = nn.Dense(c, dtype=self.dtype, name="proj_in")(h)
@@ -320,10 +323,10 @@ class _OutputHead(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        x = nn.GroupNorm(
-            c.norm_num_groups, epsilon=1e-5, dtype=c.dtype, name="conv_norm_out"
+        x = GroupNormAct(
+            c.norm_num_groups, epsilon=1e-5, dtype=c.dtype, silu=True,
+            name="conv_norm_out",
         )(x)
-        x = nn.silu(x)
         return nn.Conv(
             c.out_channels, (3, 3), padding=1, dtype=c.dtype, name="conv_out"
         )(x)

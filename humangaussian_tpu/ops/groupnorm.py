@@ -1,0 +1,296 @@
+"""Fused GroupNorm(+SiLU) with Pallas stats kernels and analytic VJP.
+
+Replaces flax ``nn.GroupNorm`` + ``nn.silu`` in the guidance UNet/VAE
+(reference torch modules: unet_rgbdepth.py resnet blocks and the
+diffusers VAE, both ``norm -> silu -> conv``). Profiling the SDS train
+step on a v5e chip showed XLA's GroupNorm *reduce fusions* — the
+mean/variance reductions over [N, H*W, C] bf16 activations — running
+~15x above bandwidth speed-of-light (~350 ms of a 1.2 s step at
+512^2/64^2 activation scale). The math is bandwidth-bound: 3 HBM passes
+forward (read for stats, read+write for normalize), 5 backward.
+
+Design (per pass, everything static-shaped):
+
+  stats (Pallas): grid (N, row-blocks); each step streams a
+    [BR, C] block and accumulates per-channel sum / sum-of-squares into
+    a revisited [2, C] f32 output block (flushed once per sample, not
+    per block). One read of x at DMA bandwidth; the reduction is 3 VPU
+    ops/element instead of an XLA loop fusion.
+  group combine (XLA, tiny): [N, C] channel sums -> per-(n, group)
+    mean/rstd -> per-channel affine a = gamma * rstd, b = beta - mu * a.
+  normalize (+SiLU) (XLA): y = act(x * a + b) — a single elementwise
+    fusion XLA already runs at bandwidth.
+
+Backward mirrors it: one Pallas kernel re-reads (x, dz) and produces
+per-(n, c) S1 = sum(dy), S2 = sum(dy * xhat) (recomputing xhat and the
+SiLU derivative in-register); the group means and dgamma/dbeta come
+from S1/S2 with tiny XLA contractions, and dx is one more elementwise
+fusion:
+
+  dx = rstd * (gamma * dy - mean_g(gamma dy) - xhat * mean_g(gamma dy xhat))
+
+Stats accumulate in f32 regardless of activation dtype (bf16 in
+training), so the fused path is numerically *tighter* than the flax
+bf16-compute GroupNorm it replaces.
+
+Falls back to a pure-XLA implementation off-TPU (interpret tests) and
+for row counts the block size doesn't divide.
+"""
+from __future__ import annotations
+
+import functools
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+# tests flip this to exercise the Pallas kernels off-TPU (interpret mode)
+FORCE_PALLAS_INTERPRET = False
+
+
+def _pick_block_rows(rows: int, channels: int) -> int:
+    """Largest power-of-two row block <= ~1 MB of bf16 lanes."""
+    target = max(256, min(rows, (1 << 19) // max(channels, 1)))
+    br = 1
+    while br * 2 <= target and rows % (br * 2) == 0:
+        br *= 2
+    return br
+
+
+# ---------------------------------------------------------------------------
+# Pallas stats kernels
+# ---------------------------------------------------------------------------
+
+
+def _fwd_stats_kernel(x_ref, out_ref):
+    rb = pl.program_id(1)
+    x = x_ref[0].astype(jnp.float32)  # [BR, C]
+    s1 = jnp.sum(x, axis=0, keepdims=True)
+    s2 = jnp.sum(x * x, axis=0, keepdims=True)
+    blk = jnp.concatenate([s1, s2], axis=0)[None]  # [1, 2, C]
+
+    @pl.when(rb == 0)
+    def _():
+        out_ref[...] = blk
+
+    @pl.when(rb > 0)
+    def _():
+        out_ref[...] += blk
+
+
+def _fwd_stats(x3, br: int):
+    """x3 [N, R, C] -> [N, 2, C] f32 (sum, sumsq per channel)."""
+    n, rows, c = x3.shape
+    grid = (n, rows // br)
+    return pl.pallas_call(
+        _fwd_stats_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, br, c), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 2, c), lambda i, j: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, 2, c), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(x3)
+
+
+def _bwd_stats_kernel(x_ref, dz_ref, mu_ref, rstd_ref, gb_ref, out_ref,
+                      *, silu: bool):
+    rb = pl.program_id(1)
+    x = x_ref[0].astype(jnp.float32)  # [BR, C]
+    dz = dz_ref[0].astype(jnp.float32)
+    xhat = (x - mu_ref[0]) * rstd_ref[0]  # [BR, C] (mu/rstd are [1, C])
+    if silu:
+        y = xhat * gb_ref[0, 0:1, :] + gb_ref[0, 1:2, :]
+        sig = jax.nn.sigmoid(y)
+        dy = dz * sig * (1.0 + y * (1.0 - sig))
+    else:
+        dy = dz
+    s1 = jnp.sum(dy, axis=0, keepdims=True)
+    s2 = jnp.sum(dy * xhat, axis=0, keepdims=True)
+    blk = jnp.concatenate([s1, s2], axis=0)[None]
+
+    @pl.when(rb == 0)
+    def _():
+        out_ref[...] = blk
+
+    @pl.when(rb > 0)
+    def _():
+        out_ref[...] += blk
+
+
+def _bwd_stats(x3, dz3, mu_c, rstd_c, gb, br: int, silu: bool):
+    """[N,R,C] x/dz + per-channel mu/rstd [N,1,C] + gamma/beta [1,2,C]
+    -> [N, 2, C] f32 (sum dy, sum dy*xhat)."""
+    n, rows, c = x3.shape
+    grid = (n, rows // br)
+    return pl.pallas_call(
+        functools.partial(_bwd_stats_kernel, silu=silu),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, br, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, br, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 2, c), lambda i, j: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 2, c), lambda i, j: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, 2, c), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(x3, dz3, mu_c, rstd_c, gb)
+
+
+# ---------------------------------------------------------------------------
+# group combine + elementwise passes (XLA)
+# ---------------------------------------------------------------------------
+
+
+def _group_stats(sums, rows: int, groups: int, eps: float):
+    """[N, 2, C] channel sums -> per-channel mu, rstd [N, C] f32."""
+    n, _, c = sums.shape
+    cg = c // groups
+    m = rows * cg  # elements per (n, group)
+    gsum = jnp.sum(sums.reshape(n, 2, groups, cg), axis=3)  # [N, 2, G]
+    mean = gsum[:, 0] / m
+    var = jnp.maximum(gsum[:, 1] / m - mean * mean, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    # broadcast back to channels
+    mu_c = jnp.repeat(mean, cg, axis=1)
+    rstd_c = jnp.repeat(rstd, cg, axis=1)
+    return mu_c, rstd_c
+
+
+def _use_pallas(rows: int, br: int) -> bool:
+    on_tpu = jax.default_backend() == "tpu" or FORCE_PALLAS_INTERPRET
+    return on_tpu and rows % br == 0
+
+
+# ---------------------------------------------------------------------------
+# public op with analytic VJP
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def group_norm_act(x, scale, bias, groups: int, eps: float, silu: bool):
+    """GroupNorm over the channel-minor axis of [..., C], optionally
+    fused with SiLU. Stats per (leading batch dim, group) in f32; the
+    normalized output is cast back to ``x.dtype``.
+
+    Matches ``nn.GroupNorm(groups, epsilon=eps)`` (+ ``nn.silu``) with
+    f32 stats; channel axis must be divisible by ``groups``."""
+    y, _ = _gn_fwd(x, scale, bias, groups, eps, silu)
+    return y
+
+
+def _gn_fwd(x, scale, bias, groups, eps, silu):
+    shape = x.shape
+    n = shape[0]
+    c = shape[-1]
+    rows = 1
+    for d in shape[1:-1]:
+        rows *= d
+    x3 = x.reshape(n, rows, c)
+    br = _pick_block_rows(rows, c)
+    if _use_pallas(rows, br):
+        sums = _fwd_stats(x3, br)
+    else:
+        xf = x3.astype(jnp.float32)
+        sums = jnp.stack(
+            [jnp.sum(xf, axis=1), jnp.sum(xf * xf, axis=1)], axis=1
+        )
+    mu_c, rstd_c = _group_stats(sums, rows, groups, eps)
+    a = (scale.astype(jnp.float32) * rstd_c)[:, None, :]  # [N, 1, C]
+    b = (bias.astype(jnp.float32) - mu_c * scale.astype(jnp.float32)
+         * rstd_c)[:, None, :]
+    y = x3.astype(jnp.float32) * a + b
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    y = y.astype(x.dtype).reshape(shape)
+    return y, (x, scale, bias, mu_c, rstd_c)
+
+
+def _gn_bwd(groups, eps, silu, res, dz):
+    x, scale, bias, mu_c, rstd_c = res
+    shape = x.shape
+    n, c = shape[0], shape[-1]
+    rows = 1
+    for d in shape[1:-1]:
+        rows *= d
+    x3 = x.reshape(n, rows, c)
+    dz3 = dz.reshape(n, rows, c)
+    br = _pick_block_rows(rows, c)
+    gamma = scale.astype(jnp.float32)
+    beta = bias.astype(jnp.float32)
+
+    if _use_pallas(rows, br):
+        gb = jnp.stack([gamma, beta])[None]  # [1, 2, C]
+        sums = _bwd_stats(
+            x3, dz3, mu_c[:, None, :], rstd_c[:, None, :], gb, br, silu
+        )
+        s1, s2 = sums[:, 0], sums[:, 1]  # [N, C]
+    else:
+        xf = x3.astype(jnp.float32)
+        xhat = (xf - mu_c[:, None, :]) * rstd_c[:, None, :]
+        if silu:
+            y = xhat * gamma + beta
+            sig = jax.nn.sigmoid(y)
+            dy = dz3.astype(jnp.float32) * sig * (1.0 + y * (1.0 - sig))
+        else:
+            dy = dz3.astype(jnp.float32)
+        s1 = jnp.sum(dy, axis=1)
+        s2 = jnp.sum(dy * xhat, axis=1)
+
+    cg = c // groups
+    m = rows * cg
+    # group means of gamma*dy and gamma*dy*xhat from the channel sums
+    mean1 = jnp.sum((gamma * s1).reshape(n, groups, cg), axis=2) / m
+    mean2 = jnp.sum((gamma * s2).reshape(n, groups, cg), axis=2) / m
+    mean1_c = jnp.repeat(mean1, cg, axis=1)[:, None, :]  # [N, 1, C]
+    mean2_c = jnp.repeat(mean2, cg, axis=1)[:, None, :]
+
+    # final elementwise pass (XLA fuses; recompute xhat / dy in-register)
+    xf = x3.astype(jnp.float32)
+    xhat = (xf - mu_c[:, None, :]) * rstd_c[:, None, :]
+    if silu:
+        y = xhat * gamma + beta
+        sig = jax.nn.sigmoid(y)
+        dy = dz3.astype(jnp.float32) * sig * (1.0 + y * (1.0 - sig))
+    else:
+        dy = dz3.astype(jnp.float32)
+    dx = rstd_c[:, None, :] * (gamma * dy - mean1_c - xhat * mean2_c)
+    dx = dx.astype(x.dtype).reshape(shape)
+    dscale = jnp.sum(s2, axis=0).astype(scale.dtype)
+    dbias = jnp.sum(s1, axis=0).astype(bias.dtype)
+    return dx, dscale, dbias
+
+
+group_norm_act.defvjp(
+    lambda x, s, b, g, e, a: _gn_fwd(x, s, b, g, e, a),
+    _gn_bwd,
+)
+
+
+class GroupNormAct(nn.Module):
+    """Drop-in for ``nn.GroupNorm(...)`` (+ optional fused SiLU).
+
+    Same param names/shapes as flax GroupNorm (``scale``/``bias``, f32),
+    so torch->flax converted checkpoints load unchanged; stats always
+    f32 (tighter than the bf16-compute flax norm it replaces)."""
+
+    num_groups: int
+    epsilon: float
+    dtype: jnp.dtype  # output dtype (API parity with nn.GroupNorm)
+    silu: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        y = group_norm_act(
+            x.astype(self.dtype), scale, bias, self.num_groups,
+            self.epsilon, self.silu,
+        )
+        return y
