@@ -148,18 +148,12 @@ def convert_unet_state_dict(
         simple = {
             "conv_in.weight": ("conv_in", "kernel"),
             "conv_in.bias": ("conv_in", "bias"),
-            "conv_in_branch.0.weight": ("conv_in_branch", "kernel"),
-            "conv_in_branch.0.bias": ("conv_in_branch", "bias"),
             "fusion_conv.weight": ("fusion_conv", "kernel"),
             "fusion_conv.bias": ("fusion_conv", "bias"),
             "conv_norm_out.weight": ("head", "conv_norm_out", "scale"),
             "conv_norm_out.bias": ("head", "conv_norm_out", "bias"),
             "conv_out.weight": ("head", "conv_out", "kernel"),
             "conv_out.bias": ("head", "conv_out", "bias"),
-            "conv_norm_out_branch.0.weight": ("head_branch", "conv_norm_out", "scale"),
-            "conv_norm_out_branch.0.bias": ("head_branch", "conv_norm_out", "bias"),
-            "conv_out_branch.0.weight": ("head_branch", "conv_out", "kernel"),
-            "conv_out_branch.0.bias": ("head_branch", "conv_out", "bias"),
             "time_embedding.linear_1.weight": ("time_embedding", "linear_1", "kernel"),
             "time_embedding.linear_1.bias": ("time_embedding", "linear_1", "bias"),
             "time_embedding.linear_2.weight": ("time_embedding", "linear_2", "kernel"),
@@ -173,18 +167,42 @@ def convert_unet_state_dict(
             put(simple[k], k, value)
             continue
 
+        # branch stems/heads: torch `*_branch.{i}` ModuleLists -> flax
+        # branch-0 keeps the historical un-indexed names, i >= 1 appends
+        # the index (conv_in_branch1, head_branch1, ...)
         m = re.match(
-            r"(down_blocks|up_blocks)(?:_branch\.0)?\.(\d+)\.(resnets|attentions|downsamplers|upsamplers)\.(\d+)\.(.+)$",
+            r"(conv_in|conv_norm_out|conv_out)_branch\.(\d+)\.(weight|bias)$",
             k,
         )
         if m:
-            family, idx, sub, j, rest = m.groups()
-            branch = "_branch.0" in k
+            mod, bi, leaf = m.groups()
+            bs = "" if bi == "0" else bi
+            if mod == "conv_in":
+                path = (f"conv_in_branch{bs}",
+                        "kernel" if leaf == "weight" else "bias")
+            elif mod == "conv_norm_out":
+                path = (f"head_branch{bs}", "conv_norm_out",
+                        "scale" if leaf == "weight" else "bias")
+            else:
+                path = (f"head_branch{bs}", "conv_out",
+                        "kernel" if leaf == "weight" else "bias")
+            put(path, k, value)
+            continue
+
+        m = re.match(
+            r"(down_blocks|up_blocks)(?:_branch\.(\d+))?\.(\d+)\.(resnets|attentions|downsamplers|upsamplers)\.(\d+)\.(.+)$",
+            k,
+        )
+        if m:
+            family, bi, idx, sub, j, rest = m.groups()
+            bs = None if bi is None else ("" if bi == "0" else bi)
             if family == "down_blocks":
-                blk = f"down_block{'_branch' if branch else ''}_{idx}"
-            elif branch:  # torch branch index j -> level num_levels-copy_last_n+j
+                blk = (f"down_block_{idx}" if bs is None
+                       else f"down_block_branch{bs}_{idx}")
+            elif bs is not None:
+                # torch branch index j -> level num_levels-copy_last_n+j
                 level = num_levels - copy_last_n + int(idx)
-                blk = f"up_block_branch_{level}"
+                blk = f"up_block_branch{bs}_{level}"
             else:
                 blk = f"up_block_{idx}"
             if sub == "resnets":

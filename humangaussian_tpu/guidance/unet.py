@@ -437,7 +437,8 @@ class DualBranchUNet(nn.Module):
     def __call__(
         self,
         sample,  # [B,h,w,in_channels] noisy rgb latent (+ pose cond)
-        sample_branch,  # [B,h,w,in_channels] noisy depth latent (+ pose cond)
+        sample_branch,  # [B,h,w,in_channels] noisy depth latent (+ pose
+        #     cond); a tuple/list of branch_num inputs when branch_num > 1
         timesteps,  # [B] int/float
         encoder_hidden_states,  # [B,L,cross_attention_dim]
         time_ids,  # [B,num_time_ids]
@@ -463,67 +464,99 @@ class DualBranchUNet(nn.Module):
         context = encoder_hidden_states.astype(c.dtype)
 
         # ---- stems -----------------------------------------------------
+        # branch module names: branch 0 keeps the historical un-indexed
+        # names (conv_in_branch, down_block_branch_*, head_branch);
+        # branches i >= 1 insert the index before the level underscore
+        # (conv_in_branch1, down_block_branch1_*, head_branch1) —
+        # mirrors torch's `*_branch.{i}` ModuleLists (unet_rgbdepth.py
+        # :292-294,494-499,591-596) without breaking saved checkpoints.
+        branches = (
+            list(sample_branch)
+            if isinstance(sample_branch, (list, tuple))
+            else [sample_branch]
+        )
+        if len(branches) != c.branch_num:
+            raise ValueError(
+                f"got {len(branches)} branch inputs for branch_num="
+                f"{c.branch_num}"
+            )
+        sfx = ["" if i == 0 else str(i) for i in range(c.branch_num)]
+
         h = nn.Conv(
             c.block_out_channels[0], (3, 3), padding=1, dtype=c.dtype, name="conv_in"
         )(sample.astype(c.dtype))
-        h_br = nn.Conv(
-            c.block_out_channels[0], (3, 3), padding=1, dtype=c.dtype,
-            name="conv_in_branch",
-        )(sample_branch.astype(c.dtype))
+        h_brs = [
+            nn.Conv(
+                c.block_out_channels[0], (3, 3), padding=1, dtype=c.dtype,
+                name=f"conv_in_branch{sfx[i]}",
+            )(branches[i].astype(c.dtype))
+            for i in range(c.branch_num)
+        ]
 
         res_main = [h]
-        res_br = [h_br]
+        res_brs = [[hb] for hb in h_brs]
 
         down_blocks = self._down_blocks("down_block")
-        branch_down = self._down_blocks("down_block_branch")[:first_n]
 
         for blk in down_blocks[:first_n]:
             h, rs = blk(h, emb, context)
             res_main += rs
-        for blk in branch_down:
-            h_br, rs = blk(h_br, emb, context)
-            res_br += rs
+        for i in range(c.branch_num):
+            for blk in self._down_blocks(
+                f"down_block_branch{sfx[i]}"
+            )[:first_n]:
+                h_brs[i], rs = blk(h_brs[i], emb, context)
+                res_brs[i] += rs
 
         # ---- fusion (unet_rgbdepth.py:1035-1048) -----------------------
         if c.fusion == "avg":
-            h = (h + h_br) / 2.0
+            h = sum(h_brs, h) / (1.0 + c.branch_num)
         elif c.fusion == "sum":
-            h = h + h_br
+            h = sum(h_brs, h)
         elif c.fusion == "learn":
             # fusion_conv: 3x3 conv over the channel-concat of the
             # branch features (unet_rgbdepth.py:282,1044-1046)
             h = nn.Conv(
                 c.block_out_channels[c.copy_first_n_block - 1], (3, 3),
                 padding=1, dtype=c.dtype, name="fusion_conv",
-            )(jnp.concatenate([h, h_br], axis=-1))
+            )(jnp.concatenate([h] + h_brs, axis=-1))
         else:
             raise NotImplementedError(f"fusion {c.fusion!r}")
 
         for blk in down_blocks[first_n:]:
             h, rs = blk(h, emb, context)
             res_main += rs
-            res_br += rs
+            for rb in res_brs:
+                rb += rs
 
         h = MidBlock(c, name="mid_block")(h, emb, context)
 
         # ---- shared up trunk -------------------------------------------
         up_blocks = self._up_blocks("up_block")
-        branch_up = self._up_blocks("up_block_branch")[n_down - last_n :]
         layers_up = c.layers_per_block + 1
 
         for blk in up_blocks[: n_down - last_n]:
             h = blk(h, res_main, emb, context)
-            del res_br[-layers_up:]  # branch stack popped in lockstep
+            for rb in res_brs:  # branch stacks popped in lockstep
+                del rb[-layers_up:]
 
-        # ---- branch-specific last block(s) on a copy -------------------
-        h_b = h
-        for blk in branch_up:
-            h_b = blk(h_b, res_br, emb, context)
+        # ---- branch-specific last block(s) on copies --------------------
+        h_bs = []
+        for i in range(c.branch_num):
+            h_b = h
+            for blk in self._up_blocks(
+                f"up_block_branch{sfx[i]}"
+            )[n_down - last_n:]:
+                h_b = blk(h_b, res_brs[i], emb, context)
+            h_bs.append(h_b)
         for blk in up_blocks[n_down - last_n :]:
             h = blk(h, res_main, emb, context)
 
         out = _OutputHead(c, name="head")(h)
-        out_b = _OutputHead(c, name="head_branch")(h_b)
-        return jnp.concatenate(
-            [out.astype(jnp.float32), out_b.astype(jnp.float32)], axis=-1
-        )
+        outs = [out.astype(jnp.float32)] + [
+            _OutputHead(c, name=f"head_branch{sfx[i]}")(h_bs[i]).astype(
+                jnp.float32
+            )
+            for i in range(c.branch_num)
+        ]
+        return jnp.concatenate(outs, axis=-1)

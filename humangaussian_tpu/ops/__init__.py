@@ -8,6 +8,7 @@ from humangaussian_tpu.ops.rasterize_tiled import rasterize_tiled
 from humangaussian_tpu.ops.rasterize import rasterize
 from humangaussian_tpu.ops.binning import build_tile_bins, TileBins
 from humangaussian_tpu.ops.knn import mean_3nn_sq_dist, mean_3nn_sq_dist_host
+from humangaussian_tpu.ops.groupnorm import GroupNormAct, group_norm_act
 
 __all__ = [
     "RasterizeConfig",
@@ -20,4 +21,6 @@ __all__ = [
     "TileBins",
     "mean_3nn_sq_dist",
     "mean_3nn_sq_dist_host",
+    "GroupNormAct",
+    "group_norm_act",
 ]

@@ -90,6 +90,47 @@ class TestUNetParity:
         out_torch = np.moveaxis(out_torch.numpy(), 1, -1)
         rel_close(out_flax, out_torch, 2e-5, "tiny dual-branch UNet")
 
+    def test_multi_branch_learn_fusion(self):
+        """branch_num=2 + fusion='learn': every *_branch.{i} ModuleList
+        slot and the fusion_conv travel through the converter and the
+        flax forward matches torch (unet_rgbdepth.py:292-294,1035-1048,
+        1175-1199)."""
+        cfg = dataclasses.replace(
+            TINY_TEST_CONFIG, branch_num=2, fusion="learn"
+        )
+        torch.manual_seed(2)
+        tm = TorchDualBranchUNet(cfg).eval()
+        params, unmatched = convert_unet_state_dict(
+            sd_numpy(tm), num_levels=len(cfg.block_out_channels),
+            copy_last_n=cfg.copy_last_n_block,
+        )
+        assert unmatched == [], unmatched
+
+        rng = np.random.RandomState(3)
+        b, hw = 2, 16
+        sample = rng.randn(b, hw, hw, cfg.in_channels).astype(np.float32)
+        sb = [rng.randn(b, hw, hw, cfg.in_channels).astype(np.float32)
+              for _ in range(2)]
+        t = np.array([99.0, 640.0], np.float32)
+        ctx = rng.randn(b, 7, cfg.cross_attention_dim).astype(np.float32)
+        tids = np.tile(
+            np.array([[512, 512, 0, 0, 512, 512]], np.float32), (b, 1)
+        )
+
+        out_flax = DualBranchUNet(cfg).apply(
+            params, jnp.asarray(sample),
+            [jnp.asarray(x) for x in sb],
+            jnp.asarray(t), jnp.asarray(ctx), jnp.asarray(tids),
+        )
+        assert out_flax.shape == (b, hw, hw, 3 * cfg.out_channels)
+        with torch.no_grad():
+            out_torch = tm(
+                to_nchw(sample), [to_nchw(x) for x in sb],
+                torch.tensor(t), torch.tensor(ctx), torch.tensor(tids),
+            )
+        out_torch = np.moveaxis(out_torch.numpy(), 1, -1)
+        rel_close(out_flax, out_torch, 2e-5, "branch_num=2 learn fusion")
+
     def test_sd2_scale_down_block(self):
         """One real-scale block: 320ch, 5 heads, ctx 1024, linear proj,
         2 layers, symmetric stride-2 downsample (unet_rgbdepth.py:178)."""

@@ -346,10 +346,15 @@ class TorchDualBranchUNet(nn.Module):
         g = cfg.norm_num_groups
         ulp = cfg.use_linear_projection
 
+        bn = cfg.branch_num
         self.conv_in = nn.Conv2d(cfg.in_channels, chs[0], 3, padding=1)
         self.conv_in_branch = nn.ModuleList(
-            [nn.Conv2d(cfg.in_channels, chs[0], 3, padding=1)]
+            [nn.Conv2d(cfg.in_channels, chs[0], 3, padding=1)
+             for _ in range(bn)]
         )
+        if cfg.fusion == "learn":
+            fch = chs[cfg.copy_first_n_block - 1]
+            self.fusion_conv = nn.Conv2d(fch * (bn + 1), fch, 3, padding=1)
         self.time_embedding = TimestepEmbedding(chs[0], temb_dim)
         self.add_embedding = TimestepEmbedding(
             cfg.addition_time_embed_dim * cfg.num_time_ids, temb_dim
@@ -368,7 +373,8 @@ class TorchDualBranchUNet(nn.Module):
 
         self.down_blocks = make_down()
         self.down_blocks_branch = nn.ModuleList(
-            [nn.ModuleList(list(make_down()[: cfg.copy_first_n_block]))]
+            [nn.ModuleList(list(make_down()[: cfg.copy_first_n_block]))
+             for _ in range(bn)]
         )
 
         self.mid_block = MidBlock(
@@ -404,16 +410,18 @@ class TorchDualBranchUNet(nn.Module):
 
         self.up_blocks = make_up()
         self.up_blocks_branch = nn.ModuleList(
-            [nn.ModuleList(list(make_up()[n - cfg.copy_last_n_block:]))]
+            [nn.ModuleList(list(make_up()[n - cfg.copy_last_n_block:]))
+             for _ in range(bn)]
         )
 
         self.conv_norm_out = nn.GroupNorm(g, chs[0], eps=1e-5)
         self.conv_out = nn.Conv2d(chs[0], cfg.out_channels, 3, padding=1)
         self.conv_norm_out_branch = nn.ModuleList(
-            [nn.GroupNorm(g, chs[0], eps=1e-5)]
+            [nn.GroupNorm(g, chs[0], eps=1e-5) for _ in range(bn)]
         )
         self.conv_out_branch = nn.ModuleList(
-            [nn.Conv2d(chs[0], cfg.out_channels, 3, padding=1)]
+            [nn.Conv2d(chs[0], cfg.out_channels, 3, padding=1)
+             for _ in range(bn)]
         )
 
     def forward(self, sample, sample_branch, timesteps, context, time_ids):
@@ -428,29 +436,38 @@ class TorchDualBranchUNet(nn.Module):
         ).reshape(b, -1)
         emb = emb + self.add_embedding(size_emb)
 
+        branches = (list(sample_branch)
+                    if isinstance(sample_branch, (list, tuple))
+                    else [sample_branch])
+
         h = self.conv_in(sample)
-        h_br = self.conv_in_branch[0](sample_branch)
+        h_brs = [self.conv_in_branch[i](branches[i])
+                 for i in range(cfg.branch_num)]
 
         res_main = [h]
         for blk in self.down_blocks[:first_n]:
             h, rs = blk(h, emb, context)
             res_main += rs
-        res_br = [h_br]
-        for blk in self.down_blocks_branch[0]:
-            h_br, rs = blk(h_br, emb, context)
-            res_br += rs
+        res_brs = [[hb] for hb in h_brs]
+        for i in range(cfg.branch_num):
+            for blk in self.down_blocks_branch[i]:
+                h_brs[i], rs = blk(h_brs[i], emb, context)
+                res_brs[i] += rs
 
         if cfg.fusion == "avg":
-            h = (h + h_br) / 2.0
+            h = torch.stack([h] + h_brs, dim=0).sum(0) / (1 + cfg.branch_num)
         elif cfg.fusion == "sum":
-            h = h + h_br
+            h = torch.stack([h] + h_brs, dim=0).sum(0)
+        elif cfg.fusion == "learn":
+            h = self.fusion_conv(torch.cat([h] + h_brs, dim=1))
         else:
             raise NotImplementedError(cfg.fusion)
 
         for blk in self.down_blocks[first_n:]:
             h, rs = blk(h, emb, context)
             res_main += rs
-            res_br += rs
+            for rb in res_brs:
+                rb += rs
 
         h = self.mid_block(h, emb, context)
 
@@ -458,16 +475,21 @@ class TorchDualBranchUNet(nn.Module):
         layers_up = cfg.layers_per_block + 1
         for blk in self.up_blocks[: n - cfg.copy_last_n_block]:
             h = blk(h, res_main, emb, context)
-            del res_br[-layers_up:]
+            for rb in res_brs:
+                del rb[-layers_up:]
 
-        h_b = h.clone()
-        for blk in self.up_blocks_branch[0]:
-            h_b = blk(h_b, res_br, emb, context)
+        h_bs = []
+        for i in range(cfg.branch_num):
+            h_b = h.clone()
+            for blk in self.up_blocks_branch[i]:
+                h_b = blk(h_b, res_brs[i], emb, context)
+            h_bs.append(h_b)
         for blk in self.up_blocks[n - cfg.copy_last_n_block:]:
             h = blk(h, res_main, emb, context)
 
-        out = self.conv_out(F.silu(self.conv_norm_out(h)))
-        out_b = self.conv_out_branch[0](
-            F.silu(self.conv_norm_out_branch[0](h_b))
-        )
-        return torch.cat([out, out_b], dim=1)
+        outs = [self.conv_out(F.silu(self.conv_norm_out(h)))]
+        for i in range(cfg.branch_num):
+            outs.append(self.conv_out_branch[i](
+                F.silu(self.conv_norm_out_branch[i](h_bs[i]))
+            ))
+        return torch.cat(outs, dim=1)
