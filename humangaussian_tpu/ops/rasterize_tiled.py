@@ -538,9 +538,13 @@ def _shard_call(fn, args, tile_shard, psum_out=False):
 
 def _pos2_candidate_order(sorted_key, perm, r, p_cap, c_cap, k_cap,
                           rank_bits, num_tiles):
-    """Batched: sorted_key/perm [B, P] -> pos2 [B*P] page-row indices
-    into the FLAT (all-camera) page buffer, in (camera, j-major
-    candidate) order; `r` is the static rect-slot count.
+    """Batched: sorted_key/perm [B, P] -> pos2 [B*P] CAMERA-LOCAL
+    page-row indices (each value < c_cap*128, indexing that camera's own
+    page block; never-written rows land on the camera's local guard
+    page), in (camera, j-major candidate) order; `r` is the static
+    rect-slot count. Camera-local values let the backward gather one
+    camera's rows at a time, bounding the 8x lane-padded [*,16]
+    transients to a single camera.
 
     Everything runs on FLATTENED [B*P] 1-D arrays: a vmapped sort gets
     a [1,P]{T(1,128)} layout from XLA that runs ~5x slower than the
@@ -566,7 +570,7 @@ def _pos2_candidate_order(sorted_key, perm, r, p_cap, c_cap, k_cap,
     cnt = jnp.minimum(jnp.minimum(seg_len, k_cap), p_cap - begin_c)
     offset = flat_idx - seg_begin
     valid = (offset < cnt) & (t_p < num_tiles)
-    zero_row = b * c_cap * 128 - 1  # last (guard) page, never written
+    zero_row = c_cap * 128 - 1  # camera-local guard page, never written
     page = (begin_c >> 7) + t_p  # camera-local first page of the tile
 
     # carry pos2 back to candidate order — a permutation inversion keyed
@@ -602,18 +606,12 @@ def _pos2_candidate_order(sorted_key, perm, r, p_cap, c_cap, k_cap,
             hi_c = (sa & jnp.uint32(sent)).astype(jnp.int32)
             lo_c = (sb & jnp.uint32(127)).astype(jnp.int32)
             parts.append(
-                jnp.where(
-                    hi_c == sent,
-                    zero_row,
-                    (ci * c_cap * 128) + hi_c * 128 + lo_c,
-                )
+                jnp.where(hi_c == sent, zero_row, hi_c * 128 + lo_c)
             )
         return jnp.concatenate(parts) if b > 1 else parts[0]
 
     # fallback: camera-flat 2-operand payload sort
-    pos2_sorted = jnp.where(
-        valid, (page + cam * c_cap) * 128 + offset, zero_row
-    )
+    pos2_sorted = jnp.where(valid, page * 128 + offset, zero_row)
     keys = cam * p + cand
     _, pos2_cand = jax.lax.sort((keys, pos2_sorted), num_keys=1)
     return pos2_cand  # [B*P] int32, (camera, j-major candidate) order
@@ -635,26 +633,40 @@ class _CoreStatics(NamedTuple):
     n_cap: int  # active depth-rank cap (candidate domain size // r)
 
 
-def _build_pair_t(fmat, order, sorted_key, cs: _CoreStatics):
-    """[N,16] features -> feature-major [16, lanes] compacted pair array
-    for ONE camera."""
-    fmat_sorted = fmat[order[: cs.n_cap]]
-    rank = sorted_key[: cs.p_cap] & ((1 << cs.rank_bits) - 1)
-    pf = fmat_sorted[rank]  # [p_cap, 16]
-    pf_t = pf.T  # [16, p_cap]
-    return jnp.pad(pf_t, ((0, 0), (0, cs.lanes - cs.p_cap)))
+def _build_pair_t(fmat_t, order, sorted_key, cs: _CoreStatics):
+    """[16, N] feature-major features -> [16, lanes] compacted pair
+    array for ONE camera.
+
+    Gather-cost model (measured, benchmarks/probe_gather_scale.py +
+    in-situ XPlane traces): XLA's TPU gather is INDEX-serialized
+    (~9 ns/index) regardless of slice width, so one [S,16] row gather
+    per index set is optimal — 16 separate 1-D gathers do NOT fuse in
+    situ and pay the traversal 16x. Row-major [*,16] f32 arrays are
+    lane-padded 16->128 (8x HBM), so they must stay TRANSIENT and
+    per-camera (this function is called once per camera, unrolled):
+    peak padded footprint is one camera's [p_cap,16] (~1 GB at full
+    519k capacity), never the [B*P,16] resident (9 GB) that stalled
+    full-scale training."""
+    rank = (sorted_key[: cs.p_cap] & ((1 << cs.rank_bits) - 1)).astype(
+        jnp.int32
+    )
+    fmat_sorted = fmat_t.T[order[: cs.n_cap]]  # [n_cap, 16] transient
+    pf = fmat_sorted[rank]  # [p_cap, 16] transient
+    return jnp.pad(pf.T, ((0, 0), (0, cs.lanes - cs.p_cap)))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _render_core(fmat, order, sorted_key, perm, starts_c, counts,
+def _render_core(fmat_t, order, sorted_key, perm, starts_c, counts,
                  tileid, cs: _CoreStatics, tile_shard):
-    """Batched: fmat [B,N,16], order [B,N], sorted_key [B,P], perm
-    [B,P] (binning sort payload), starts_c [B,T] (lane offsets,
-    clamped), counts [B,T], tileid [B*T] -> acc [B*T, PIX, 8]."""
-    b = fmat.shape[0]
-    pair_t = jax.vmap(
-        lambda f, o, k: _build_pair_t(f, o, k, cs)
-    )(fmat, order, sorted_key)  # [B, 16, lanes]
+    """Batched: fmat_t [B,16,N] (FEATURE-MAJOR — row-major [N,16] would
+    be lane-padded 16->128 by XLA, 8x HBM), order [B,N], sorted_key
+    [B,P], perm [B,P] (binning sort payload), starts_c [B,T] (lane
+    offsets, clamped), counts [B,T], tileid [B*T] -> acc [B*T, PIX, 8]."""
+    b = fmat_t.shape[0]
+    pair_t = jnp.stack([
+        _build_pair_t(fmat_t[i], order[i], sorted_key[i], cs)
+        for i in range(b)
+    ])  # [B, 16, lanes] (unrolled: keeps each gather a fast 1-D form)
     pair_flat = jnp.transpose(pair_t, (1, 0, 2)).reshape(_NF, b * cs.lanes)
     lane_base = (jnp.arange(b, dtype=jnp.int32) * cs.lanes)[:, None]
     starts_flat = (starts_c + lane_base).reshape(-1)
@@ -666,12 +678,13 @@ def _render_core(fmat, order, sorted_key, perm, starts_c, counts,
     )
 
 
-def _render_core_fwd(fmat, order, sorted_key, perm, starts_c, counts,
+def _render_core_fwd(fmat_t, order, sorted_key, perm, starts_c, counts,
                      tileid, cs, tile_shard):
-    b = fmat.shape[0]
-    pair_t = jax.vmap(
-        lambda f, o, k: _build_pair_t(f, o, k, cs)
-    )(fmat, order, sorted_key)
+    b = fmat_t.shape[0]
+    pair_t = jnp.stack([
+        _build_pair_t(fmat_t[i], order[i], sorted_key[i], cs)
+        for i in range(b)
+    ])
     pair_flat = jnp.transpose(pair_t, (1, 0, 2)).reshape(_NF, b * cs.lanes)
     lane_base = (jnp.arange(b, dtype=jnp.int32) * cs.lanes)[:, None]
     starts_flat = (starts_c + lane_base).reshape(-1)
@@ -721,33 +734,44 @@ def _render_core_bwd(cs: _CoreStatics, tile_shard, res, g_out):
         tile_shard,
         psum_out=True,
     )
-    # [C*16, 128] pages -> pair-major rows [C*128, 16]
-    dpair_rows = (
-        dpaged.reshape(b * cs.c_cap, _NF, 128)
-        .transpose(0, 2, 1)
-        .reshape(b * cs.c_cap * 128, _NF)
-    )
-
-    # candidate-order gather + per-Gaussian reduce, all camera-flat 1-D
-    # (vmapped sorts get a hostile [1,P] layout — see _pos2_candidate_order)
+    # candidate-order gather + per-Gaussian reduce. The sorts run
+    # camera-flat 1-D (vmapped sorts get a hostile [1,P] layout — see
+    # _pos2_candidate_order); the row GATHERS run per camera, unrolled:
+    # XLA's gather is index-serialized (~9 ns/index) with slice width
+    # free, so one [*,16] row gather per index set is the fast form,
+    # but row-major [*,16] f32 is lane-padded 16->128 (8x HBM) — doing
+    # it per camera keeps those transients at one camera's size instead
+    # of materializing a B-camera 9 GB resident.
     r = perm.shape[1] // cs.n_cap
     pos2 = _pos2_candidate_order(
         sorted_key, perm, r, cs.p_cap, cs.c_cap, cs.k_cap, cs.rank_bits,
         cs.num_tiles,
-    )  # [B*P], j-major per camera
-    dpr = dpair_rows[pos2]  # [B*P, 16]
-    # j-major: sum r contiguous [n_cap, 16] blocks per camera (no
-    # relayout); ranks beyond the active cap got no candidates -> zero
-    dsorted = jnp.sum(dpr.reshape(b, r, cs.n_cap, _NF), axis=1)
-    if cs.n_cap < n:
-        dsorted = jnp.pad(dsorted, ((0, 0), (0, n - cs.n_cap), (0, 0)))
-    dsorted = dsorted.reshape(b * n, _NF)  # [B*N, 16]
-    # inverse of the depth order, batch-flat
+    ).reshape(b, -1)  # [B, P] camera-local page rows, j-major
+    # inverse of the depth order (batch-flat sort, camera-local values)
     iota_bn = jnp.arange(b * n, dtype=jnp.int32)
     okeys = (iota_bn // n) * n + order.reshape(b * n)
     _, inv_order = jax.lax.sort((okeys, iota_bn), num_keys=1)
-    dfmat = dsorted[inv_order].reshape(b, n, _NF)
-    return dfmat, None, None, None, None, None, None
+    inv_local = inv_order.reshape(b, n) - (
+        jnp.arange(b, dtype=jnp.int32) * n
+    )[:, None]
+
+    dfmat_cams = []
+    for i in range(b):
+        pages = dpaged[i * cs.c_cap * _NF : (i + 1) * cs.c_cap * _NF]
+        rows = (
+            pages.reshape(cs.c_cap, _NF, 128)
+            .transpose(0, 2, 1)
+            .reshape(cs.c_cap * 128, _NF)
+        )  # transient, one camera
+        dpr = rows[pos2[i]]  # [P, 16] transient
+        # j-major: sum r contiguous [n_cap, 16] blocks; ranks beyond
+        # the active cap got no candidates -> zero
+        dsorted = jnp.sum(dpr.reshape(r, cs.n_cap, _NF), axis=0)
+        if cs.n_cap < n:
+            dsorted = jnp.pad(dsorted, ((0, n - cs.n_cap), (0, 0)))
+        dfmat_cams.append(dsorted[inv_local[i]].T)  # [16, N]
+    dfmat_t = jnp.stack(dfmat_cams)  # [B, 16, N]
+    return dfmat_t, None, None, None, None, None, None
 
 
 _render_core.defvjp(_render_core_fwd, _render_core_bwd)
@@ -759,6 +783,9 @@ _render_core.defvjp(_render_core_fwd, _render_core_bwd)
 
 
 def _feature_matrix(prims):
+    """FEATURE-MAJOR [16, N]: the lane axis is the Gaussian count, so
+    nothing here (nor any cotangent flowing back through the stack) is
+    lane-padded; a [N, 16] layout costs 8x HBM on TPU."""
     n = prims.depths.shape[0]
     return jnp.stack(
         [
@@ -774,8 +801,8 @@ def _feature_matrix(prims):
             prims.depths,
         ]
         + [jnp.zeros((n,), jnp.float32)] * (_NF - 10),
-        axis=1,
-    )  # [N, 16]
+        axis=0,
+    )  # [16, N]
 
 
 def _resolve_pair_capacity(n: int, r: int, cfg: RasterizeConfig,
