@@ -97,15 +97,20 @@ def main():
     def fwdbwd_single(p):
         return jax.grad(loss)(p)["means"]
 
+    def fetch(out):
+        # host fetch of one scalar: the only TRUE device sync through
+        # the axon relay (block_until_ready can return before the
+        # device finishes)
+        leaf = jax.tree.leaves(out)[0]
+        return float(jnp.ravel(leaf)[0])
+
     def time_chain(f):
-        out = f(params)
-        jax.block_until_ready(out)
+        fetch(f(params))
         best = np.inf
         for trial in range(3):
             p2 = jax.tree.map(lambda x: x + 1e-6 * (trial + 1), params)
             t0 = time.perf_counter()
-            out = f(p2)
-            jax.block_until_ready(out)
+            fetch(f(p2))
             best = min(best, (time.perf_counter() - t0) / iters)
         return best
 
@@ -113,14 +118,12 @@ def main():
     dt_fwd = time_chain(fwd_chain)
 
     # independent per-call median (includes relay dispatch)
-    out = fwdbwd_single(params)
-    jax.block_until_ready(out)
+    fetch(fwdbwd_single(params))
     times = []
     for i in range(10):
         p2 = jax.tree.map(lambda x: x + 1e-6 * (i + 1), params)
         t0 = time.perf_counter()
-        out = fwdbwd_single(p2)
-        jax.block_until_ready(out)
+        fetch(fwdbwd_single(p2))
         times.append(time.perf_counter() - t0)
     dt_fb_call = float(np.median(times))
 

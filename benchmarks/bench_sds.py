@@ -73,7 +73,7 @@ print(f"first step (compile) {time.perf_counter()-t0:.1f}s "
 t0 = time.perf_counter()
 for _ in range(ITERS):
     state, m = system.train_step(state)
-jax.block_until_ready(m["loss"])
+float(m["loss"])  # host fetch: the only true sync through the relay
 dt = (time.perf_counter() - t0) / ITERS
 print(f"SDS step: {dt*1e3:.0f} ms = {1.0/dt:.3f} it/s "
       f"(A100 reference ~1.0 it/s)", flush=True)

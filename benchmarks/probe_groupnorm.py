@@ -28,22 +28,28 @@ def chain(fn, x, iters):
     def step(h, _):
         return fn(h), None
     out, _ = jax.lax.scan(step, x, None, length=iters)
-    return out
+    return jnp.sum(out.astype(jnp.float32))
 
 
 def timeit(fn, x):
     f = jax.jit(lambda x: chain(fn, x, ITERS))
-    jax.block_until_ready(f(x))  # compile
-    t0 = time.perf_counter()
-    jax.block_until_ready(f(x))
-    return (time.perf_counter() - t0) / ITERS * 1e3
+    float(f(x))  # compile; host fetch = only true sync via the relay
+    best = float("inf")
+    for t in range(2):
+        x2 = x + jnp.bfloat16(1e-3 * (t + 1))
+        t0 = time.perf_counter()
+        float(f(x2))
+        best = min(best, (time.perf_counter() - t0) / ITERS * 1e3)
+    return best
 
 
 def main():
-    rng = np.random.RandomState(0)
     for label, shape, groups, needs_grad in CASES:
         c = shape[-1]
-        x = jnp.asarray(rng.randn(*shape), jnp.bfloat16)
+        # generate ON DEVICE: big host->device transfers crawl through
+        # the relay tunnel
+        x = jax.block_until_ready(
+            jax.random.normal(jax.random.PRNGKey(0), shape, jnp.bfloat16))
         scale = jnp.ones((c,), jnp.bfloat16)
         bias = jnp.zeros((c,), jnp.bfloat16)
 

@@ -24,7 +24,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from humangaussian_tpu.ops.groupnorm import GroupNormAct
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,11 +52,15 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = GroupNormAct(self.groups, epsilon=1e-6, dtype=self.dtype,
-                         silu=True, name="norm1")(x)
+        # flax GroupNorm here, NOT the fused kernel: VAE-encode norms
+        # sit on the gradient path and the fused analytic VJP measured
+        # 0.62-0.67x XLA's autodiff backward (probe_groupnorm.py); the
+        # fused form only wins where no grads flow (the UNet)
+        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        h = GroupNormAct(self.groups, epsilon=1e-6, dtype=self.dtype,
-                         silu=True, name="norm2")(h)
+        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
@@ -74,8 +77,7 @@ class AttnBlock(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         res = x
-        x = GroupNormAct(self.groups, epsilon=1e-6, dtype=self.dtype,
-                         name="group_norm")(x)
+        x = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, name="group_norm")(x)
         x = x.reshape(b, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(x)
@@ -108,8 +110,8 @@ class Encoder(nn.Module):
         h = ResnetBlock(ch, c.norm_num_groups, c.dtype, name="mid_resnet_0")(h)
         h = AttnBlock(c.norm_num_groups, c.dtype, name="mid_attn")(h)
         h = ResnetBlock(ch, c.norm_num_groups, c.dtype, name="mid_resnet_1")(h)
-        h = GroupNormAct(c.norm_num_groups, epsilon=1e-6, dtype=c.dtype,
-                         silu=True, name="conv_norm_out")(h)
+        h = nn.GroupNorm(c.norm_num_groups, epsilon=1e-6, dtype=c.dtype, name="conv_norm_out")(h)
+        h = nn.silu(h)
         h = nn.Conv(2 * c.latent_channels, (3, 3), padding=1, dtype=c.dtype, name="conv_out")(h)
         return h
 
@@ -132,8 +134,8 @@ class Decoder(nn.Module):
                 b, hh, ww, cc = h.shape
                 h = jax.image.resize(h, (b, hh * 2, ww * 2, cc), "nearest")
                 h = nn.Conv(ch, (3, 3), padding=1, dtype=c.dtype, name=f"up_{i}_upsample")(h)
-        h = GroupNormAct(c.norm_num_groups, epsilon=1e-6, dtype=c.dtype,
-                         silu=True, name="conv_norm_out")(h)
+        h = nn.GroupNorm(c.norm_num_groups, epsilon=1e-6, dtype=c.dtype, name="conv_norm_out")(h)
+        h = nn.silu(h)
         h = nn.Conv(c.out_channels, (3, 3), padding=1, dtype=c.dtype, name="conv_out")(h)
         return h
 
