@@ -19,6 +19,7 @@ guidance.vae_key, prompt_processor.pretrained_model_name_or_path.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import shutil
 
@@ -98,6 +99,16 @@ def build_system(cfg: dict):
         raise ValueError(
             f"unknown system.guidance.arch {arch!r}; expected 'sd2-base' or 'tiny'"
         )
+    # arch-field overrides (system.guidance.unet.*): fusion avg|sum|learn,
+    # branch_num, copy_first_n_block, copy_last_n_block, ... — the knobs
+    # the reference model class exposes (unet_rgbdepth.py:211-216)
+    unet_overrides = dict(sys_cfg.get("guidance", {}).get("unet", {}) or {})
+    if unet_overrides:
+        unet_overrides = {
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in unet_overrides.items()
+        }
+        unet_cfg = dataclasses.replace(unet_cfg, **unet_overrides)
     guid_cfg = take(GuidanceConfig, g_raw)
     unet = DualBranchUNet(unet_cfg)
     vae = AutoencoderKL(vae_cfg)

@@ -136,3 +136,45 @@ class TestLaunchCLI:
         files = os.listdir(save)
         assert "last.ply" in files
         assert any(f.startswith("orbit.") for f in files)
+
+    def test_unet_arch_overrides(self, tmp_path, monkeypatch):
+        """system.guidance.unet.* dotlist keys reach the UNetConfig
+        (fusion avg|sum|learn, branch_num, ... — unet_rgbdepth.py:211-216)."""
+        tmp = str(tmp_path)
+        smplx_path = os.path.join(tmp, "SMPLX_NEUTRAL.npz")
+        make_smplx_npz(smplx_path)
+        model_key, vae_key = make_torch_weights(tmp)
+
+        import humangaussian_tpu.guidance.prompt as prompt_mod
+
+        def fake_encode_fn(model_path):
+            def encode(prompts):
+                return np.zeros((len(prompts), 7, 32), np.float32)
+
+            return encode
+
+        monkeypatch.setattr(prompt_mod, "hf_clip_encode_fn", fake_encode_fn)
+
+        cfg = {
+            "system": {
+                "smplx_path": smplx_path,
+                "capacity": 1024,
+                "pts_num": 300,
+                "prompt_processor": {
+                    "prompt": "x", "use_cache": False,
+                    "pretrained_model_name_or_path": "unused",
+                },
+                "guidance": {
+                    "arch": "tiny",
+                    "model_key": model_key,
+                    "vae_key": vae_key,
+                    "unet": {"fusion": "sum", "attn_heads": [2, 2]},
+                },
+            },
+            "data": {"batch_size": 2, "height": 64, "width": 64},
+        }
+        from humangaussian_tpu.apps.launch import build_system
+
+        system = build_system(cfg)
+        assert system.guidance.unet.cfg.fusion == "sum"
+        assert system.guidance.unet.cfg.attn_heads == (2, 2)  # list->tuple
