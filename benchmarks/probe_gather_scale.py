@@ -54,7 +54,8 @@ def timeit(label, fn, src, idx):
     for iv in idxs:
         float(f(src, iv))
     dt = (time.perf_counter() - t0) / (ITERS * len(idxs)) * 1e3
-    gb = M * 16 * 4 / 1e9
+    width = 1 if fn is one_d_unit else 16
+    gb = M * width * 4 / 1e9
     print(f"{label:34s} {dt:8.2f} ms  ({gb/dt*1e3:6.1f} GB/s payload)",
           flush=True)
     return dt

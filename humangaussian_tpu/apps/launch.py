@@ -109,6 +109,15 @@ def build_system(cfg: dict):
             for k, v in unet_overrides.items()
         }
         unet_cfg = dataclasses.replace(unet_cfg, **unet_overrides)
+    if unet_cfg.branch_num != 1:
+        # the dual-branch SDS guidance feeds exactly one structure
+        # (depth) branch, same as the reference pipeline
+        # (dual_branch_guidance.py:364-369); branch_num > 1 is a model-
+        # class capability reachable through DualBranchUNet directly
+        raise ValueError(
+            "system.guidance.unet.branch_num must be 1 on the training "
+            "path: the dual-branch guidance supplies one depth branch"
+        )
     guid_cfg = take(GuidanceConfig, g_raw)
     unet = DualBranchUNet(unet_cfg)
     vae = AutoencoderKL(vae_cfg)

@@ -51,12 +51,15 @@ FORCE_PALLAS_INTERPRET = False
 
 
 def _pick_block_rows(rows: int, channels: int) -> int:
-    """Largest power-of-two row block <= ~1 MB of bf16 lanes."""
+    """Largest power-of-two row block <= ~1 MB of bf16 lanes that
+    divides `rows`. Returns 0 when no block of at least 8 rows divides
+    (odd row counts): a tiny block would launch a pathologically long
+    grid, so the caller falls back to the pure-XLA stats path."""
     target = max(256, min(rows, (1 << 19) // max(channels, 1)))
     br = 1
     while br * 2 <= target and rows % (br * 2) == 0:
         br *= 2
-    return br
+    return br if br >= 8 else 0
 
 
 # ---------------------------------------------------------------------------
@@ -164,7 +167,7 @@ def _group_stats(sums, rows: int, groups: int, eps: float):
 
 def _use_pallas(rows: int, br: int) -> bool:
     on_tpu = jax.default_backend() == "tpu" or FORCE_PALLAS_INTERPRET
-    return on_tpu and rows % br == 0
+    return on_tpu and br > 0
 
 
 # ---------------------------------------------------------------------------

@@ -662,15 +662,9 @@ def _render_core(fmat_t, order, sorted_key, perm, starts_c, counts,
     be lane-padded 16->128 by XLA, 8x HBM), order [B,N], sorted_key
     [B,P], perm [B,P] (binning sort payload), starts_c [B,T] (lane
     offsets, clamped), counts [B,T], tileid [B*T] -> acc [B*T, PIX, 8]."""
-    b = fmat_t.shape[0]
-    pair_t = jnp.stack([
-        _build_pair_t(fmat_t[i], order[i], sorted_key[i], cs)
-        for i in range(b)
-    ])  # [B, 16, lanes] (unrolled: keeps each gather a fast 1-D form)
-    pair_flat = jnp.transpose(pair_t, (1, 0, 2)).reshape(_NF, b * cs.lanes)
-    lane_base = (jnp.arange(b, dtype=jnp.int32) * cs.lanes)[:, None]
-    starts_flat = (starts_c + lane_base).reshape(-1)
-    counts_flat = counts.reshape(-1)
+    pair_flat, counts_flat, starts_flat = _assemble_pairs(
+        fmat_t, order, sorted_key, starts_c, counts, cs
+    )
     return _shard_call(
         lambda pf, c, st, ti: _fwd_call(pf, c, st, ti, cs.s),
         (pair_flat, counts_flat, starts_flat, tileid),
@@ -678,17 +672,25 @@ def _render_core(fmat_t, order, sorted_key, perm, starts_c, counts,
     )
 
 
-def _render_core_fwd(fmat_t, order, sorted_key, perm, starts_c, counts,
-                     tileid, cs, tile_shard):
+def _assemble_pairs(fmat_t, order, sorted_key, starts_c, counts, cs):
+    """Per-camera (unrolled) pair build + camera-flat lane addressing,
+    shared by the primal and the VJP forward."""
     b = fmat_t.shape[0]
     pair_t = jnp.stack([
         _build_pair_t(fmat_t[i], order[i], sorted_key[i], cs)
         for i in range(b)
-    ])
+    ])  # [B, 16, lanes]
     pair_flat = jnp.transpose(pair_t, (1, 0, 2)).reshape(_NF, b * cs.lanes)
     lane_base = (jnp.arange(b, dtype=jnp.int32) * cs.lanes)[:, None]
     starts_flat = (starts_c + lane_base).reshape(-1)
-    counts_flat = counts.reshape(-1)
+    return pair_flat, counts.reshape(-1), starts_flat
+
+
+def _render_core_fwd(fmat_t, order, sorted_key, perm, starts_c, counts,
+                     tileid, cs, tile_shard):
+    pair_flat, counts_flat, starts_flat = _assemble_pairs(
+        fmat_t, order, sorted_key, starts_c, counts, cs
+    )
     out = _shard_call(
         lambda pf, c, st, ti: _fwd_call(pf, c, st, ti, cs.s),
         (pair_flat, counts_flat, starts_flat, tileid),

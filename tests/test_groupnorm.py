@@ -72,6 +72,28 @@ def test_bf16_input_keeps_f32_stats():
     )
 
 
+def test_odd_rows_use_xla_fallback(monkeypatch):
+    """Row counts with no >=8 power-of-two divisor (e.g. 15x15 maps)
+    must take the pure-XLA stats path, not a block_rows=1 Pallas grid."""
+    from humangaussian_tpu.ops import groupnorm as gn_mod
+
+    assert gn_mod._pick_block_rows(225, 64) == 0
+    monkeypatch.setattr(gn_mod, "FORCE_PALLAS_INTERPRET", True)
+    calls = []
+    orig = gn_mod._fwd_stats
+    monkeypatch.setattr(
+        gn_mod, "_fwd_stats", lambda *a: calls.append(1) or orig(*a)
+    )
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 15, 15, 32), jnp.float32)
+    s = jnp.ones((32,), jnp.float32)
+    b = jnp.zeros((32,), jnp.float32)
+    got = group_norm_act(x, s, b, 8, 1e-5, False)
+    want = _ref(x, s, b, 8, 1e-5, False)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+    assert calls == []  # Pallas stats kernel not used
+
+
 @pytest.mark.parametrize("silu", [False, True])
 def test_pallas_kernels_interpret(monkeypatch, silu):
     """Exercise the Pallas stats kernels (interpret mode off-TPU)."""
