@@ -51,15 +51,19 @@ def snapshot_code(save_dir: str) -> str | None:
 
 
 def active_rank_bucket(alive: int, capacity: int) -> int | None:
-    """Power-of-two candidate-domain cap for the rasterizer, >= the
-    alive count with ~5% headroom. None (= full capacity) once the
-    scene approaches capacity. Each distinct bucket costs one extra
-    train-step compilation, so buckets are powers of two — at most a
-    handful of recompiles as densification grows the scene, in exchange
-    for candidate sorts sized by the live scene instead of the padded
-    capacity (ops/binning.build_pair_lists)."""
+    """Candidate-domain cap for the rasterizer, >= the alive count with
+    ~5% headroom, from a {2^k, 1.5*2^k} ladder (all multiples of 128).
+    None (= full capacity) once the scene approaches capacity. Each
+    distinct bucket costs one extra train-step compilation, so the
+    ladder is coarse — a handful of recompiles as densification grows
+    the scene, in exchange for candidate sorts and backward gathers
+    sized by the live scene instead of the padded capacity
+    (ops/binning.build_pair_lists). The 1.5x intermediate steps matter
+    most at the top: a scene just over 2^k/1.5 would otherwise jump to
+    2^(k+1) and pay 33% extra in every P-proportional stage."""
     want = max(int(alive * 1.05) + 1, 1 << 15)
-    bucket = 1 << (want - 1).bit_length()
+    pow2 = 1 << (want - 1).bit_length()
+    bucket = pow2 if want > (pow2 * 3) // 4 else (pow2 * 3) // 4
     return None if bucket >= capacity else bucket
 
 

@@ -102,3 +102,22 @@ class TestViewer:
             assert len(png) > 100
         finally:
             server.stop()
+
+
+class TestActiveRankBucket:
+    def test_ladder_values(self):
+        from humangaussian_tpu.train.loop import active_rank_bucket as b
+
+        cap = 1 << 19
+        assert b(100, cap) == 32768          # floor
+        assert b(100_000, cap) == 131072     # pow2 step
+        assert b(180_000, cap) == 196608     # 1.5x intermediate step
+        assert b(254_000, cap) == 393216     # 1.5x step below capacity
+        assert b(400_000, cap) is None       # ~capacity -> full domain
+        # every bucket is a multiple of 128 (pair/lane alignment) and
+        # covers alive * 1.05
+        for alive in range(1000, 500_000, 7919):
+            bk = b(alive, cap)
+            if bk is not None:
+                assert bk % 128 == 0
+                assert bk >= int(alive * 1.05) + 1
