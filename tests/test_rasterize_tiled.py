@@ -233,6 +233,12 @@ class TestActiveCap:
         np.testing.assert_allclose(out0["image"], out1["image"], atol=1e-6)
         np.testing.assert_allclose(g0, g1, atol=1e-6)
         assert int(out1["overflow"]) == int(out0["overflow"])
+        # non-power-of-two cap (the 1.5*2^k bucket ladder emits these):
+        # bit-packing in binning + the carry-back must handle it
+        v2, out2, g2 = loss(rasterize_tiled, active_cap=192)
+        np.testing.assert_allclose(v0, v2, rtol=1e-6)
+        np.testing.assert_allclose(out0["image"], out2["image"], atol=1e-6)
+        np.testing.assert_allclose(g0, g2, atol=1e-6)
 
     def test_cap_below_visible_reports_overflow(self):
         params = make_scene(n=300, n_dead=0)
