@@ -77,8 +77,10 @@ emb = PromptEmbeddings(
     null=jnp.zeros((77, emb_d)),
 )
 skel = Skeleton(style="humansd", apose=True).load_smplx(toy_model()).scale(-10)
+REMAT = os.environ.get("REMAT", "1") not in ("0", "false")
 system = GaussianDreamerSystem(
-    GaussianDreamerConfig(capacity=CAPACITY, pts_num=100_000, max_steps=3600),
+    GaussianDreamerConfig(capacity=CAPACITY, pts_num=100_000, max_steps=3600,
+                          remat_render=REMAT),
     skel, guidance, emb,
     camera_cfg=RandomCameraConfig(batch_size=8, height=1024, width=1024),
     raster_cfg=RasterizeConfig(tile=32, max_tiles_per_gaussian=4,

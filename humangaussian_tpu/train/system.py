@@ -105,7 +105,14 @@ class GaussianDreamerConfig:
     pose_image_size: int = 512
     max_steps: int = 3600
     tile_capacity: int = 4096
-    remat_render: bool = True  # trade a fwd replay for ~2GB of residuals
+    # remat of the batched render traded a forward replay (projection +
+    # binning sorts + pair gathers, all index-cost-heavy) for residual
+    # HBM. With the backward's lane-padded residents gone (rasterize
+    # _tiled feature-major refactor) the residuals fit comfortably and
+    # the replay is pure loss: measured 1.40 -> 1.15 s/step at 340k
+    # alive, 0.854 -> 0.836 s at 100k (probe_train_scale.py). Keep True
+    # only for HBM-constrained giant scenes.
+    remat_render: bool = False
 
 
 class TrainState(NamedTuple):
