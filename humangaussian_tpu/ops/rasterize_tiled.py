@@ -583,38 +583,21 @@ def _pos2_candidate_order(sorted_key, perm, r, p_cap, c_cap, k_cap,
     n = p // r
     cand = (pm % r) * n + pm // r  # [0, P) per camera
 
-    # packed fast path: the camera-local row index pos2_c = page*128 +
-    # offset (< c_cap*128) is split into a 7-bit lane half and a
-    # page-count-bit high half, each packed under the candidate index in
-    # ONE u32 key — TWO single-operand sorts per camera, ~2.5x cheaper
-    # than the equivalent 2-operand payload sort at ~1M keys (a payload
-    # operand roughly triples XLA's TPU sort cost).
-    cand_bits = max((p - 1).bit_length(), 1)
-    page_bits = max(c_cap.bit_length(), 1)  # sentinel (1<<pb)-1 >= c_cap
-    if cand_bits + page_bits <= 32:
-        pos2_c = page * 128 + offset  # camera-local row index
-        hi = pos2_c >> 7
-        lo = pos2_c & 127
-        sent = (1 << page_bits) - 1
-        hi_k = jnp.where(valid, hi, sent).astype(jnp.uint32)
-        ka = (cand.astype(jnp.uint32) << page_bits) | hi_k
-        kb = (cand.astype(jnp.uint32) << 7) | lo.astype(jnp.uint32)
-        parts = []
-        for ci in range(b):  # unrolled: per-camera 1-D sorts
-            sa = jax.lax.sort(ka[ci * p : (ci + 1) * p])
-            sb = jax.lax.sort(kb[ci * p : (ci + 1) * p])
-            hi_c = (sa & jnp.uint32(sent)).astype(jnp.int32)
-            lo_c = (sb & jnp.uint32(127)).astype(jnp.int32)
-            parts.append(
-                jnp.where(hi_c == sent, zero_row, hi_c * 128 + lo_c)
-            )
-        return jnp.concatenate(parts) if b > 1 else parts[0]
-
-    # fallback: camera-flat 2-operand payload sort
+    # ONE 2-operand (key, pos2) sort per camera, unrolled 1-D. Round 2
+    # ran this as two packed single-operand u32 sorts because a payload
+    # operand then tripled XLA's TPU sort cost; re-measured in round 3
+    # (benchmarks/probe_segsum.py) a 2-op sort costs the SAME as 1-op
+    # (2.52 vs 2.33 ms at 900k), so the packed dual sort is now a
+    # pessimization — one payload sort halves the carry-back.
     pos2_sorted = jnp.where(valid, page * 128 + offset, zero_row)
-    keys = cam * p + cand
-    _, pos2_cand = jax.lax.sort((keys, pos2_sorted), num_keys=1)
-    return pos2_cand  # [B*P] int32, (camera, j-major candidate) order
+    parts = []
+    for ci in range(b):  # unrolled: per-camera 1-D sorts
+        _, pc = jax.lax.sort(
+            (cand[ci * p : (ci + 1) * p], pos2_sorted[ci * p : (ci + 1) * p]),
+            num_keys=1,
+        )
+        parts.append(pc)
+    return jnp.concatenate(parts) if b > 1 else parts[0]
 
 
 # ---------------------------------------------------------------------------
