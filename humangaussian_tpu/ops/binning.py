@@ -46,6 +46,50 @@ import jax.numpy as jnp
 from humangaussian_tpu.ops.projection import ProjectedGaussians, RasterizeConfig
 
 
+def _tile_alpha_bound(mx, my, ca, cb, cc, tx, ty, tile):
+    """Exact min of the conic quadratic Q(d) = ca*dx^2 + 2*cb*dx*dy +
+    cc*dy^2 over a tile's pixel-center box, per candidate.
+
+    The compositing gate is alpha = opa*exp(-Q/2) >= alpha_min per pixel
+    (rasterize_tiled._chunk_common); a candidate whose max alpha over the
+    WHOLE tile is below alpha_min contributes nothing to any pixel, so
+    culling it is exact. This is the tile-level analogue of the CUDA
+    kernel's per-pixel cutoff — the CUDA binning keeps every bbox tile
+    (forward.cu duplicateWithKeys uses the rect only), so this is
+    strictly tighter binning with identical output.
+
+    Pixel centers in tile (tx,ty) span [tx*T, tx*T+T-1] (integer coords,
+    rasterize_tiled._pixel_coords). For a convex positive-definite Q the
+    box minimum is 0 if the mean is inside, else it lies on one of the 4
+    edges; each edge is a 1-D quadratic minimized by its clamped vertex.
+    """
+    t = float(tile)
+    dx_hi = mx - tx * t  # dx = mx - px, px in [tx*t, tx*t + t - 1]
+    dx_lo = dx_hi - (t - 1.0)
+    dy_hi = my - ty * t
+    dy_lo = dy_hi - (t - 1.0)
+    ca_s = jnp.maximum(ca, 1e-12)
+    cc_s = jnp.maximum(cc, 1e-12)
+
+    def q(dx, dy):
+        return ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+
+    def edge_dx(c):  # dx fixed at c, minimize over dy
+        dy = jnp.clip(-cb * c / cc_s, dy_lo, dy_hi)
+        return q(c, dy)
+
+    def edge_dy(c):  # dy fixed at c, minimize over dx
+        dx = jnp.clip(-cb * c / ca_s, dx_lo, dx_hi)
+        return q(dx, c)
+
+    qedge = jnp.minimum(
+        jnp.minimum(edge_dx(dx_lo), edge_dx(dx_hi)),
+        jnp.minimum(edge_dy(dy_lo), edge_dy(dy_hi)),
+    )
+    inside = (dx_lo <= 0.0) & (0.0 <= dx_hi) & (dy_lo <= 0.0) & (0.0 <= dy_hi)
+    return jnp.maximum(jnp.where(inside, 0.0, qedge), 0.0)
+
+
 class PairLists(NamedTuple):
     """Sorted pair structure (all static shapes)."""
 
@@ -128,22 +172,45 @@ def build_pair_lists(
         jnp.sum(prims.visible) - jnp.sum(vis) if n_cap < n else jnp.int32(0)
     )
 
-    # expand rect -> candidate tiles [n_cap, side, side]
-    dy = jnp.arange(side, dtype=jnp.int32)
-    dx = jnp.arange(side, dtype=jnp.int32)
-    ty = rect[:, 1, None, None] + dy[None, :, None]  # [N, side, 1]
-    tx = rect[:, 0, None, None] + dx[None, None, :]  # [N, 1, side]
-    in_rect = (ty < rect[:, 3, None, None]) & (tx < rect[:, 2, None, None])
-    valid = in_rect & vis[:, None, None]
+    # expand rect -> candidate tiles, laid out [side, side, n_cap]: the
+    # GAUSSIAN axis is minor (lane) so every [s,s,N] intermediate pads
+    # only N -> ceil128(N); the natural [N,s,s] layout pads (s,s) to
+    # (8,128) tiles -- a ~400 MB materialization per intermediate at
+    # 100k Gaussians whenever XLA fails to fuse the whole chain. Packed
+    # keys are unique per candidate, so the pre-sort emission order is
+    # irrelevant to the sorted output.
+    dy = jnp.arange(side, dtype=jnp.int32)[:, None, None]  # [s,1,1]
+    dx = jnp.arange(side, dtype=jnp.int32)[None, :, None]  # [1,s,1]
+    ty = rect[None, None, :, 1] + dy  # [s,s,n]
+    tx = rect[None, None, :, 0] + dx
+    in_rect = (ty < rect[None, None, :, 3]) & (tx < rect[None, None, :, 2])
+    valid = in_rect & vis[None, None, :]
+
+    if cfg.tight_cull:
+        # exact tile-ellipse cull (see _tile_alpha_bound): drop rect
+        # tiles where the candidate's best-case alpha stays below the
+        # compositing gate. Bit-exact output, fewer live pairs. The
+        # comparison carries a 1e-3 margin so float rounding between
+        # this bound and the kernel's per-pixel power can never cull a
+        # pair the kernel would pass at the gate boundary.
+        conic = jax.lax.stop_gradient(prims.conics[order_c])
+        m2d = jax.lax.stop_gradient(prims.means2d[order_c])
+        opa = jax.lax.stop_gradient(prims.opacities[order_c])
+        qmin = _tile_alpha_bound(
+            m2d[None, None, :, 0], m2d[None, None, :, 1],
+            conic[None, None, :, 0], conic[None, None, :, 1],
+            conic[None, None, :, 2], tx.astype(jnp.float32),
+            ty.astype(jnp.float32), cfg.tile,
+        )
+        bound = opa[None, None, :] * jnp.exp(-0.5 * qmin)
+        valid = valid & (bound >= cfg.alpha_min * (1.0 - 1e-3))
     tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles)  # sentinel last
 
-    rank = jnp.arange(n_cap, dtype=jnp.int32)[:, None, None]
+    rank = jnp.arange(n_cap, dtype=jnp.int32)[None, None, :]
     if packed_j:
         # j (candidate slot in the rect) rides the low bits, so the
         # backward's candidate index perm = rank * r + j is elementwise
-        j_idx = (dy[None, :, None] * side + dx[None, None, :]).astype(
-            jnp.uint32
-        )
+        j_idx = (dy * side + dx).astype(jnp.uint32)
         keys = (
             (tile_id.astype(jnp.uint32) << (rank_bits + j_bits))
             | (rank.astype(jnp.uint32) << j_bits)
@@ -158,8 +225,11 @@ def build_pair_lists(
         sorted_key = (tiles_sorted << rank_bits) | sorted_rank
     else:
         keys = (tile_id << rank_bits) | rank
+        # payload = candidate index rank*r + j (the contract consumers
+        # parse), NOT the emission position (which is j-major here)
+        cand_idx = rank * r + (dy * side + dx)
         sorted_key, perm = jax.lax.sort(
-            (keys.reshape(n_cap * r), jnp.arange(n_cap * r, dtype=jnp.int32)),
+            (keys.reshape(n_cap * r), cand_idx.reshape(n_cap * r)),
             num_keys=1,
         )
         tiles_sorted = sorted_key >> rank_bits

@@ -62,6 +62,7 @@ class RasterizeConfig:
     alpha_min: float = 1.0 / 255.0  # contribution threshold
     alpha_max: float = 0.99  # alpha clamp
     transmittance_eps: float = 1e-4  # early-stop threshold on T
+    tight_cull: bool = True  # exact tile-ellipse candidate cull (binning)
 
     @property
     def rect_side(self) -> int:

@@ -102,7 +102,9 @@ class TestForwardParity:
 
     def test_overflow_reported(self):
         # tiny capacity on a dense scene must report dropped pairs
-        params = make_scene(n=300, n_dead=0, seed=7)
+        # (n=2000 keeps >128 SURVIVING pairs per tile even after the
+        # exact tile-ellipse cull)
+        params = make_scene(n=2000, n_dead=0, seed=7)
         cam = make_camera()
         out = run(rasterize_tiled, params, cam, BG, tile_capacity=128)
         assert int(out["overflow"]) > 0
