@@ -228,7 +228,14 @@ def _fwd_kernel(
 ):
     """Per-pixel loop state (frozen/unfrozen log T, accumulators) lives
     in VMEM scratch, not loop carries — carrying ~130 vector registers
-    through an scf loop trips Mosaic layout bugs and costs moves."""
+    through an scf loop trips Mosaic layout bugs and costs moves.
+
+    (Round 3 measured a tile-GROUPED variant — M tiles per program with
+    shared cumsum/cross matmuls on [M*PIX, G] panels, exact via
+    block-diagonal operands: fwd got ~10% SLOWER at M=2 (per-chunk
+    conditional-DMA and stacking overhead exceeds the ~2.6 us/program
+    setup it amortizes) and the backward exceeded the 16 MB VMEM budget
+    at M=2. Single-tile programs are the right shape here.)"""
     ti = pl.program_id(0)
     count = counts_ref[ti]
     start = starts_ref[ti]  # lane offset into the flat pair array
@@ -324,6 +331,25 @@ def _bwd_kernel(
     g8t = gvec_ref[0]  # [8, PIX]: rows 0-4 output cotangents, row 5 = S
     svec = g8t[5:6, :].reshape(s.pix, 1)
 
+    # tile-centered pixel monomials [PIX, 6]: 1, px', py', px'^2, py'^2,
+    # px'py'. The five dpow-weighted pixel reductions (means2d + conic
+    # grads) are linear combinations of S_k = sum_p dpow * m_k(p), so one
+    # [PIX,6]x[PIX,G] MXU pass per chunk replaces ~18 VPU panel ops and 5
+    # panel reductions. Centering keeps the monomial magnitudes small
+    # (px' in [-T/2, T/2)) so the expanded form loses little precision
+    # (measured <= ~1.4e-5 of the max-grad scale vs the direct per-pixel
+    # products — the same order as the CUDA backward's nondeterministic
+    # atomicAdd accumulation).
+    cx = (t % s.tiles_x) * s.tile + (s.tile - 1) * 0.5
+    cy = (t // s.tiles_x) * s.tile + (s.tile - 1) * 0.5
+    pxl = px - cx
+    pyl = py - cy
+    mono = jnp.concatenate(
+        [jnp.ones((s.pix, 1), jnp.float32), pxl, pyl,
+         pxl * pxl, pyl * pyl, pxl * pyl],
+        axis=1,
+    )  # [PIX, 6]
+
     done_ref[:, :] = jnp.zeros((s.pix, 1), jnp.float32)
     prefix_ref[:, :] = jnp.zeros((s.pix, 1), jnp.float32)
 
@@ -384,8 +410,6 @@ def _bwd_kernel(
         dpow = jnp.where(
             c["power"] < 0.0, dalpha_raw * c["opa"] * c["expp"], 0.0
         )
-        ddx = dpow * (-(c["ca"] * c["dxv"] + c["cb"] * c["dyv"]))
-        ddy = dpow * (-(c["cc"] * c["dyv"] + c["cb"] * c["dxv"]))
 
         def psum(v):  # sum over pixels -> (1, G)
             return jnp.sum(v, axis=0, keepdims=True)
@@ -394,15 +418,35 @@ def _bwd_kernel(
             g8t, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (8, G): rows 0-2 = drgb, row 3 = ddepth
+        # pixel-monomial reduction (see mono above): S_k = sum_p
+        # dpow * m_k(p') in tile-centered coords; dxv = xl - pxl, so
+        #   sum dpow*dxv      = xl*S0 - S1x
+        #   sum dpow*dxv^2    = xl^2*S0 - 2*xl*S1x + S2x
+        #   sum dpow*dxv*dyv  = xl*yl*S0 - xl*S1y - yl*S1x + Sxy
+        # — all on [1, G] rows instead of [PIX, G] panels.
+        smat = jax.lax.dot_general(
+            mono, dpow, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [6, G]
+        s0 = smat[0:1, :]
+        s1x = smat[1:2, :]
+        s1y = smat[2:3, :]
+        s2x = smat[3:4, :]
+        s2y = smat[4:5, :]
+        sxy = smat[5:6, :]
+        xl = f[_FX : _FX + 1, :] - cx
+        yl = f[_FY : _FY + 1, :] - cy
+        gx = xl * s0 - s1x  # sum_p dpow * dxv
+        gy = yl * s0 - s1y  # sum_p dpow * dyv
         # masked lanes (beyond count / non-contributing) are exactly
         # zero here; page slots are tile-owned so nothing is clobbered.
         wbuf[slot] = jnp.concatenate(
             [
-                psum(ddx),  # dmu_x
-                psum(ddy),  # dmu_y
-                psum(dpow * (-0.5 * c["dxv"] * c["dxv"])),  # dconic_a
-                psum(dpow * (-(c["dxv"] * c["dyv"]))),  # dconic_b
-                psum(dpow * (-0.5 * c["dyv"] * c["dyv"])),  # dconic_c
+                -(c["ca"] * gx + c["cb"] * gy),  # dmu_x
+                -(c["cc"] * gy + c["cb"] * gx),  # dmu_y
+                -0.5 * (xl * xl * s0 - 2.0 * xl * s1x + s2x),  # dconic_a
+                -(xl * yl * s0 - xl * s1y - yl * s1x + sxy),  # dconic_b
+                -0.5 * (yl * yl * s0 - 2.0 * yl * s1y + s2y),  # dconic_c
                 dcg[0:3, :],  # drgb
                 psum(dopa_pix),  # dopacity
                 dcg[3:4, :],  # ddepth

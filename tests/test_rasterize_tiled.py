@@ -140,8 +140,14 @@ class TestGradientParity:
             ("means", "log_scales", "quats", "sh", "opa", "means2d"), g_ref, g_out
         ):
             scale = float(jnp.max(jnp.abs(a))) + 1e-8
+            # 3e-5 (not float-ulp): the kernel reduces the means2d/conic
+            # pixel sums through tile-centered monomial expansions on the
+            # MXU (rasterize_tiled._bwd_kernel) — a reassociation of the
+            # oracle's per-pixel products worth ~1.4e-5 of the max-grad
+            # scale, the same order as the CUDA backward's nondeterministic
+            # atomicAdd accumulation. Forward outputs stay at 2e-6.
             np.testing.assert_allclose(
-                np.asarray(b) / scale, np.asarray(a) / scale, atol=5e-6,
+                np.asarray(b) / scale, np.asarray(a) / scale, atol=3e-5,
                 err_msg=f"grad mismatch: {name}",
             )
 
