@@ -100,6 +100,9 @@ class PairLists(NamedTuple):
     perm: jnp.ndarray  # [P] original candidate index of each sorted pair
     starts: jnp.ndarray  # [T+1] segment starts into the sorted pairs
     counts: jnp.ndarray  # [T] live pairs per tile (capped at K)
+    lens: jnp.ndarray  # [T] segment lengths clamped to the pair budget
+    #     only (>= counts; includes K-cap-dropped pairs — the backward
+    #     sort-routing covers these positions with zero-grad keys)
     overflow: jnp.ndarray  # [] pairs dropped by the K cap
     rank_bits: int  # static
 
@@ -240,9 +243,11 @@ def build_pair_lists(
     ).astype(jnp.int32)
     seg_len = starts[1:] - starts[:-1]
     counts = jnp.minimum(seg_len, capacity)
+    lens = seg_len
     if pair_capacity is not None:
         budget = pair_capacity - jnp.minimum(starts[:-1], pair_capacity)
         counts = jnp.minimum(counts, budget)
+        lens = jnp.minimum(lens, budget)
     overflow = jnp.sum(seg_len - counts) + cap_dropped
     return PairLists(
         order=order,
@@ -251,6 +256,7 @@ def build_pair_lists(
         perm=perm,
         starts=starts,
         counts=counts,
+        lens=lens,
         overflow=overflow,
         rank_bits=rank_bits,
     )

@@ -81,8 +81,9 @@ from humangaussian_tpu.ops.binning import build_pair_lists
 from humangaussian_tpu.ops.projection import RasterizeConfig, project_gaussians
 
 # feature-row layout of the [16, P] pair array. 16 = 10 live features +
-# 6 zero rows — one full f32 sublane tile.
+# the candidate-key row + 5 zero rows — one full f32 sublane tile.
 _FX, _FY, _FCA, _FCB, _FCC, _FR, _FG, _FB, _FOPA, _FDEPTH = range(10)
+_FCAND = 10  # j-major candidate index as f32 (exact: cand < 2^24)
 _NF = 16
 _WIN = 256  # DMA window lanes (2 x chunk; absorbs the segment offset)
 
@@ -315,18 +316,36 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    counts_ref, starts_ref, tileid_ref, pagestart_ref, pairs_hbm, gvec_ref,
-    _zeros_hbm, dpaged_hbm, buf, wbuf, done_ref, prefix_ref,
-    sem, wsem, *, s: CompositeStatics,
+    counts_ref, starts_ref, tileid_ref, pagestart_ref, lens_ref, pairs_hbm,
+    gvec_ref, _init_hbm, dpaged_hbm, buf, wbuf, done_ref, prefix_ref,
+    sem, wsem, *, s: CompositeStatics, sort_routing: bool,
 ):
+    """Backward replay. Every page block carries, in row _FCAND, the
+    j-major CANDIDATE KEY of each lane (from the pair array; lanes
+    outside this tile's segment get the sentinel) — the glue then routes
+    gradient rows to candidate order with ONE multi-payload sort instead
+    of a pos2 carry-back sort + a P-sized row gather (XLA's gather is
+    ~23 ns/index at training scale; a 17-operand sort is ~3 ns/element,
+    benchmarks/probe_segsum.py round 3).
+
+    The loop runs over nlive_w = cdiv(len, chunk) blocks (len = the
+    budget-clamped SEGMENT length >= count): blocks past the live count
+    or past pixel saturation skip the math but still write their key
+    rows (zero grads), so every in-budget candidate position is covered
+    exactly once — the invariant the sort routing needs."""
     ti = pl.program_id(0)
     count = counts_ref[ti]
     start = starts_ref[ti]
     t = tileid_ref[ti]
     pstart = pagestart_ref[ti]
+    seg_len = lens_ref[ti]
     off = jax.lax.rem(start, s.chunk)
     base = start - off
     nlive = pl.cdiv(count, s.chunk)
+    # sort routing must WRITE key blocks for every in-budget candidate
+    # (nlive_w = cdiv(len, chunk) >= nlive); gather routing only needs
+    # the live blocks
+    nloop = pl.cdiv(seg_len, s.chunk) if sort_routing else nlive
     px, py = _pixel_coords(t, s)
     g8t = gvec_ref[0]  # [8, PIX]: rows 0-4 output cotangents, row 5 = S
     svec = g8t[5:6, :].reshape(s.pix, 1)
@@ -353,7 +372,7 @@ def _bwd_kernel(
     done_ref[:, :] = jnp.zeros((s.pix, 1), jnp.float32)
     prefix_ref[:, :] = jnp.zeros((s.pix, 1), jnp.float32)
 
-    @pl.when(nlive > 0)
+    @pl.when(nloop > 0)
     def _():
         _read_dma(pairs_hbm, buf, sem, base, 0, 0, s).start()
 
@@ -366,16 +385,11 @@ def _bwd_kernel(
             wsem.at[slot],
         )
 
-    def cond(carry):
-        kc, stop = carry
-        return jnp.logical_and(kc < nlive, jnp.logical_not(stop))
-
-    def body(carry):
-        kc, _ = carry
+    def body(kc, stopped):
         slot = jax.lax.rem(kc, 2)
         _read_dma(pairs_hbm, buf, sem, base, kc, slot, s).wait()
 
-        @pl.when(kc + 1 < nlive)
+        @pl.when(kc + 1 < nloop)
         def _():
             _read_dma(
                 pairs_hbm, buf, sem, base, kc + 1, jax.lax.rem(kc + 1, 2), s
@@ -387,93 +401,139 @@ def _bwd_kernel(
             wdma(slot, kc - 2).wait()
 
         f = _lane_shift(buf[slot], off, s)
-        c = _chunk_common(f, px, py, kc, count, s)
-        # the frozen log T is not needed in the backward (no image
-        # output); pass u for both carries and ignore new_f
-        w, contrib, log_t_before, new_u, _new_f = _recurrence(
-            c, done_ref[:, :], done_ref[:, :], s
+        # keys are stored +1 so that 0 means "never written" — page
+        # buffers merge across tile shards by psum, so the init value
+        # must be additive-identity zero (the glue maps 0 back to the
+        # sort sentinel)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, s.chunk), 1)
+        seg_mask = (kc * s.chunk + lane) < seg_len
+        key_row = jnp.where(
+            seg_mask, f[_FCAND : _FCAND + 1, :] + 1.0, 0.0
         )
-        featm = _feat_matrix(f, s)  # [8, G]; rows 5-7 zero => S excluded
-        phi = jax.lax.dot_general(
-            g8t, featm, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [PIX, G]
-        wphi = w * phi
-        p_incl = prefix_ref[:, :] + _lane_cumsum(wphi, s.chunk)
-        t_i = jnp.exp(log_t_before)
-        inv_1ma = 1.0 / jnp.maximum(1.0 - c["alpha"], 1e-6)
-        dalpha = jnp.where(
-            contrib, t_i * phi - (svec - p_incl) * inv_1ma, 0.0
-        )
-        dalpha_raw = jnp.where(c["alpha_raw"] < s.alpha_max, dalpha, 0.0)
-        dopa_pix = dalpha_raw * c["expp"]
-        dpow = jnp.where(
-            c["power"] < 0.0, dalpha_raw * c["opa"] * c["expp"], 0.0
-        )
+        live = jnp.logical_and(kc < nlive, jnp.logical_not(stopped))
 
-        def psum(v):  # sum over pixels -> (1, G)
-            return jnp.sum(v, axis=0, keepdims=True)
+        @pl.when(live)
+        def _():
+            c = _chunk_common(f, px, py, kc, count, s)
+            # the frozen log T is not needed in the backward (no image
+            # output); pass u for both carries and ignore new_f
+            w, contrib, log_t_before, new_u, _new_f = _recurrence(
+                c, done_ref[:, :], done_ref[:, :], s
+            )
+            featm = _feat_matrix(f, s)  # [8, G]; rows 5-7 zero
+            phi = jax.lax.dot_general(
+                g8t, featm, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [PIX, G]
+            wphi = w * phi
+            p_incl = prefix_ref[:, :] + _lane_cumsum(wphi, s.chunk)
+            t_i = jnp.exp(log_t_before)
+            inv_1ma = 1.0 / jnp.maximum(1.0 - c["alpha"], 1e-6)
+            dalpha = jnp.where(
+                contrib, t_i * phi - (svec - p_incl) * inv_1ma, 0.0
+            )
+            dalpha_raw = jnp.where(
+                c["alpha_raw"] < s.alpha_max, dalpha, 0.0
+            )
+            dopa_pix = dalpha_raw * c["expp"]
+            dpow = jnp.where(
+                c["power"] < 0.0, dalpha_raw * c["opa"] * c["expp"], 0.0
+            )
 
-        dcg = jax.lax.dot_general(
-            g8t, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (8, G): rows 0-2 = drgb, row 3 = ddepth
-        # pixel-monomial reduction (see mono above): S_k = sum_p
-        # dpow * m_k(p') in tile-centered coords; dxv = xl - pxl, so
-        #   sum dpow*dxv      = xl*S0 - S1x
-        #   sum dpow*dxv^2    = xl^2*S0 - 2*xl*S1x + S2x
-        #   sum dpow*dxv*dyv  = xl*yl*S0 - xl*S1y - yl*S1x + Sxy
-        # — all on [1, G] rows instead of [PIX, G] panels.
-        smat = jax.lax.dot_general(
-            mono, dpow, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [6, G]
-        s0 = smat[0:1, :]
-        s1x = smat[1:2, :]
-        s1y = smat[2:3, :]
-        s2x = smat[3:4, :]
-        s2y = smat[4:5, :]
-        sxy = smat[5:6, :]
-        xl = f[_FX : _FX + 1, :] - cx
-        yl = f[_FY : _FY + 1, :] - cy
-        gx = xl * s0 - s1x  # sum_p dpow * dxv
-        gy = yl * s0 - s1y  # sum_p dpow * dyv
-        # masked lanes (beyond count / non-contributing) are exactly
-        # zero here; page slots are tile-owned so nothing is clobbered.
-        wbuf[slot] = jnp.concatenate(
-            [
-                -(c["ca"] * gx + c["cb"] * gy),  # dmu_x
-                -(c["cc"] * gy + c["cb"] * gx),  # dmu_y
-                -0.5 * (xl * xl * s0 - 2.0 * xl * s1x + s2x),  # dconic_a
-                -(xl * yl * s0 - xl * s1y - yl * s1x + sxy),  # dconic_b
-                -0.5 * (yl * yl * s0 - 2.0 * yl * s1y + s2y),  # dconic_c
-                dcg[0:3, :],  # drgb
-                psum(dopa_pix),  # dopacity
-                dcg[3:4, :],  # ddepth
-                jnp.zeros((_NF - 10, s.chunk), jnp.float32),
-            ],
-            axis=0,
-        )  # [NF, G]
+            dcg = jax.lax.dot_general(
+                g8t, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (8, G): rows 0-2 = drgb, row 3 = ddepth
+            # pixel-monomial reduction (see mono above): S_k = sum_p
+            # dpow * m_k(p') in tile-centered coords; dxv = xl - pxl, so
+            #   sum dpow*dxv      = xl*S0 - S1x
+            #   sum dpow*dxv^2    = xl^2*S0 - 2*xl*S1x + S2x
+            #   sum dpow*dxv*dyv  = xl*yl*S0 - xl*S1y - yl*S1x + Sxy
+            # — all on [1, G] rows instead of [PIX, G] panels.
+            smat = jax.lax.dot_general(
+                mono, dpow, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [6, G]
+            s0 = smat[0:1, :]
+            s1x = smat[1:2, :]
+            s1y = smat[2:3, :]
+            s2x = smat[3:4, :]
+            s2y = smat[4:5, :]
+            sxy = smat[5:6, :]
+            xl = f[_FX : _FX + 1, :] - cx
+            yl = f[_FY : _FY + 1, :] - cy
+            gx = xl * s0 - s1x  # sum_p dpow * dxv
+            gy = yl * s0 - s1y  # sum_p dpow * dyv
+            # masked lanes (beyond count / non-contributing) are exactly
+            # zero here.
+            wbuf[slot] = jnp.concatenate(
+                [
+                    -(c["ca"] * gx + c["cb"] * gy),  # dmu_x
+                    -(c["cc"] * gy + c["cb"] * gx),  # dmu_y
+                    -0.5 * (xl * xl * s0 - 2.0 * xl * s1x + s2x),  # dcon_a
+                    -(xl * yl * s0 - xl * s1y - yl * s1x + sxy),  # dcon_b
+                    -0.5 * (yl * yl * s0 - 2.0 * yl * s1y + s2y),  # dcon_c
+                    dcg[0:3, :],  # drgb
+                    jnp.sum(dopa_pix, axis=0, keepdims=True),  # dopacity
+                    dcg[3:4, :],  # ddepth
+                    key_row,  # candidate keys for the sort routing
+                    jnp.zeros((_NF - 11, s.chunk), jnp.float32),
+                ],
+                axis=0,
+            )  # [NF, G]
+            done_ref[:, :] = new_u  # unfrozen log T doubles as done
+            prefix_ref[:, :] = prefix_ref[:, :] + jnp.sum(
+                wphi, axis=1, keepdims=True
+            )
+
+        @pl.when(jnp.logical_not(live))
+        def _():
+            # key-only block: candidates past the live count (budget /
+            # K-cap drops) or past whole-tile saturation contribute zero
+            # gradient but must still claim their sort positions
+            wbuf[slot] = jnp.concatenate(
+                [
+                    jnp.zeros((_FCAND, s.chunk), jnp.float32),
+                    key_row,
+                    jnp.zeros((_NF - 11, s.chunk), jnp.float32),
+                ],
+                axis=0,
+            )
+
         wdma(slot, kc).start()
-
-        done_ref[:, :] = new_u  # unfrozen log T doubles as done state
-        prefix_ref[:, :] = prefix_ref[:, :] + jnp.sum(
-            wphi, axis=1, keepdims=True
+        # whole-tile early stop for the COMPUTE only (key blocks keep
+        # writing under sort routing): saturation read off the monotone
+        # unfrozen log T
+        return stopped | (
+            jnp.sum((done_ref[:, :] < s.log_eps).astype(jnp.float32))
+            > (s.pix - 0.5)
         )
-        all_done = jnp.sum(
-            (new_u < s.log_eps).astype(jnp.float32)
-        ) > (s.pix - 0.5)
-        return kc + 1, all_done
 
-    kfin, stopped = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.bool_(False))
-    )
+    if sort_routing:
+        # every in-budget block must write its key row, so the loop runs
+        # to nloop = nlive_w even past saturation (key-only blocks)
+        jax.lax.fori_loop(0, nloop, body, jnp.bool_(False))
+        kfin = nloop
+    else:
+        # gather routing reads page rows by position and never touches
+        # beyond-count pages: keep the whole-tile early EXIT
+        def cond_w(carry):
+            kc, stop = carry
+            return jnp.logical_and(kc < nloop, jnp.logical_not(stop))
 
-    @pl.when(jnp.logical_and(stopped, kfin < nlive))
-    def _():
-        _read_dma(
-            pairs_hbm, buf, sem, base, kfin, jax.lax.rem(kfin, 2), s
-        ).wait()
+        def body_w(carry):
+            kc, stopped = carry
+            return kc + 1, body(kc, stopped)
+
+        kfin, _stopped = jax.lax.while_loop(
+            cond_w, body_w, (jnp.int32(0), jnp.bool_(False))
+        )
+        # a prefetch for chunk kfin may be in flight after an early stop
+        @pl.when(kfin < nloop)
+        def _():
+            _read_dma(
+                pairs_hbm, buf, sem, base, kfin, jax.lax.rem(kfin, 2), s
+            ).wait()
 
     # drain outstanding writes before the grid advances
     @pl.when(kfin >= 2)
@@ -510,11 +570,11 @@ def _fwd_call(pair_feats, counts, starts, tileid, s: CompositeStatics):
     )(counts, starts, tileid, pair_feats)
 
 
-def _bwd_call(pair_feats, counts, starts, tileid, pagestart, gvec, c_cap,
-              s: CompositeStatics):
+def _bwd_call(pair_feats, counts, starts, tileid, pagestart, lens, gvec,
+              c_cap, s: CompositeStatics, sort_routing: bool):
     g = counts.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(g,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # pair features
@@ -522,7 +582,7 @@ def _bwd_call(pair_feats, counts, starts, tileid, pagestart, gvec, c_cap,
                 (1, 8, s.pix), lambda t, *_: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.HBM),  # zero init (aliased)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # init (aliased)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
@@ -534,18 +594,19 @@ def _bwd_call(pair_feats, counts, starts, tileid, pagestart, gvec, c_cap,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    # pages never written by any tile (capacity-dropped pairs, sentinel
-    # tail, guard page) must read as zero after the transpose: alias a
-    # zeros array into the output so the kernel only overwrites live
-    # page slots.
-    zeros = jnp.zeros((c_cap * _NF, s.chunk), jnp.float32)
+    # pages never written by any tile (beyond-budget tails, guard pages)
+    # must read as zero grads with zero keys (mapped to the sort sentinel
+    # in the glue — zero init keeps the buffer additive-identity for the
+    # tile-shard psum merge): alias zeros into the output so the kernel
+    # only overwrites live page slots.
+    init = jnp.zeros((c_cap * _NF, s.chunk), jnp.float32)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, s=s),
+        functools.partial(_bwd_kernel, s=s, sort_routing=sort_routing),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((c_cap * _NF, s.chunk), jnp.float32),
-        input_output_aliases={6: 0},  # zeros input (4 scalars + 2) -> out
+        input_output_aliases={7: 0},  # init input (5 scalars + 2) -> out
         interpret=s.interpret,
-    )(counts, starts, tileid, pagestart, pair_feats, gvec, zeros)
+    )(counts, starts, tileid, pagestart, lens, pair_feats, gvec, init)
 
 
 def _shard_call(fn, args, tile_shard, psum_out=False):
@@ -575,8 +636,8 @@ def _shard_call(fn, args, tile_shard, psum_out=False):
 
 
 # ---------------------------------------------------------------------------
-# pos2: candidate -> backward page-row index, computed elementwise over
-# the sorted pair order (see module docstring).
+# backward sort routing: per-position coverage + candidate keys, computed
+# elementwise over the sorted pair order (see _bwd_kernel docstring).
 # ---------------------------------------------------------------------------
 
 
@@ -644,6 +705,46 @@ def _pos2_candidate_order(sorted_key, perm, r, p_cap, c_cap, k_cap,
     return jnp.concatenate(parts) if b > 1 else parts[0]
 
 
+def _coverage_and_cand(sorted_key, perm, r, p_cap, rank_bits, num_tiles):
+    """Batched: sorted_key/perm [B, P] -> (covered [B*P] bool, cand
+    [B*P] f32). `covered[p]` is True iff the backward kernel wrote a
+    page row carrying position p's candidate key (p inside its tile's
+    budget-clamped segment); uncovered positions get DUMMY rows in the
+    routing sort so every candidate index appears exactly once. `cand`
+    is the J-MAJOR candidate index (slot-major: j * n + rank) — the
+    per-Gaussian reduce then sums r contiguous [N, 16] blocks instead of
+    a strided [N, r, 16] view, which costs a full-array relayout copy.
+
+    Everything runs on FLATTENED [B*P] 1-D arrays: the segment cummax
+    recurrence flattens safely because every camera's first element is
+    forced to be a segment start."""
+    b, pp = sorted_key.shape
+    tot = b * pp
+    flat_idx = jnp.arange(tot, dtype=jnp.int32)
+    cam = flat_idx // pp
+    sk = sorted_key.reshape(tot)
+    t_p = (sk >> rank_bits).astype(jnp.int32)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), t_p[1:] != t_p[:-1]]
+    ) | ((flat_idx % pp) == 0)
+    seg_begin = jax.lax.cummax(jnp.where(is_first, flat_idx, -1), axis=0)
+    begin_c = jnp.minimum(seg_begin - cam * pp, p_cap)  # camera-local
+    offset = (flat_idx - cam * pp) - begin_c
+    # len = min(seg_len, p_cap - begin_c): identical clamp to
+    # binning.build_pair_lists' `lens`, so coverage here matches what
+    # the kernel wrote exactly. offset < len <=> local position below
+    # both the segment end and the pair budget.
+    seg_ok = offset < (p_cap - begin_c)
+    # segment end check: position belongs to segment [seg_begin, next
+    # first) by construction of the cummax; offset is always within the
+    # segment, so only the budget clamp and the sentinel tile matter.
+    covered = seg_ok & (t_p < num_tiles)
+    pm = perm.reshape(tot)
+    n = pp // r
+    cand = ((pm % r) * n + pm // r).astype(jnp.float32)
+    return covered, cand
+
+
 # ---------------------------------------------------------------------------
 # render core: one custom_vjp spanning gather + composite, batch-aware
 # ---------------------------------------------------------------------------
@@ -658,9 +759,10 @@ class _CoreStatics(NamedTuple):
     rank_bits: int
     num_tiles: int
     n_cap: int  # active depth-rank cap (candidate domain size // r)
+    sort_routing: bool  # backward carry: multi-payload sort vs gather
 
 
-def _build_pair_t(fmat_t, order, sorted_key, cs: _CoreStatics):
+def _build_pair_t(fmat_t, order, sorted_key, perm, cs: _CoreStatics):
     """[16, N] feature-major features -> [16, lanes] compacted pair
     array for ONE camera.
 
@@ -679,32 +781,24 @@ def _build_pair_t(fmat_t, order, sorted_key, cs: _CoreStatics):
     )
     fmat_sorted = fmat_t.T[order[: cs.n_cap]]  # [n_cap, 16] transient
     pf = fmat_sorted[rank]  # [p_cap, 16] transient
-    return jnp.pad(pf.T, ((0, 0), (0, cs.lanes - cs.p_cap)))
+    pt = jnp.pad(pf.T, ((0, 0), (0, cs.lanes - cs.p_cap)))
+    # row _FCAND: each sorted pair's j-major candidate index as f32
+    # (elementwise from the binning sort payload) — the backward kernel
+    # copies it into the page rows so the routing sort can key on it
+    pm = perm[: cs.p_cap]
+    r = perm.shape[0] // cs.n_cap
+    cand = ((pm % r) * cs.n_cap + pm // r).astype(jnp.float32)
+    cand = jnp.pad(cand, (0, cs.lanes - cs.p_cap),
+                   constant_values=float(cs.n_cap * r))
+    return pt.at[_FCAND, :].set(cand)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _render_core(fmat_t, order, sorted_key, perm, starts_c, counts,
-                 tileid, cs: _CoreStatics, tile_shard):
-    """Batched: fmat_t [B,16,N] (FEATURE-MAJOR — row-major [N,16] would
-    be lane-padded 16->128 by XLA, 8x HBM), order [B,N], sorted_key
-    [B,P], perm [B,P] (binning sort payload), starts_c [B,T] (lane
-    offsets, clamped), counts [B,T], tileid [B*T] -> acc [B*T, PIX, 8]."""
-    pair_flat, counts_flat, starts_flat = _assemble_pairs(
-        fmat_t, order, sorted_key, starts_c, counts, cs
-    )
-    return _shard_call(
-        lambda pf, c, st, ti: _fwd_call(pf, c, st, ti, cs.s),
-        (pair_flat, counts_flat, starts_flat, tileid),
-        tile_shard,
-    )
-
-
-def _assemble_pairs(fmat_t, order, sorted_key, starts_c, counts, cs):
+def _assemble_pairs(fmat_t, order, sorted_key, perm, starts_c, counts, cs):
     """Per-camera (unrolled) pair build + camera-flat lane addressing,
     shared by the primal and the VJP forward."""
     b = fmat_t.shape[0]
     pair_t = jnp.stack([
-        _build_pair_t(fmat_t[i], order[i], sorted_key[i], cs)
+        _build_pair_t(fmat_t[i], order[i], sorted_key[i], perm[i], cs)
         for i in range(b)
     ])  # [B, 16, lanes]
     pair_flat = jnp.transpose(pair_t, (1, 0, 2)).reshape(_NF, b * cs.lanes)
@@ -713,10 +807,28 @@ def _assemble_pairs(fmat_t, order, sorted_key, starts_c, counts, cs):
     return pair_flat, counts.reshape(-1), starts_flat
 
 
-def _render_core_fwd(fmat_t, order, sorted_key, perm, starts_c, counts,
-                     tileid, cs, tile_shard):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _render_core(fmat_t, order, sorted_key, perm, starts_c, counts, lens,
+                 tileid, cs: _CoreStatics, tile_shard):
+    """Batched: fmat_t [B,16,N] (FEATURE-MAJOR — row-major [N,16] would
+    be lane-padded 16->128 by XLA, 8x HBM), order [B,N], sorted_key
+    [B,P], perm [B,P] (binning sort payload), starts_c [B,T] (lane
+    offsets, clamped), counts/lens [B,T], tileid [B*T]
+    -> acc [B*T, 8, PIX]."""
     pair_flat, counts_flat, starts_flat = _assemble_pairs(
-        fmat_t, order, sorted_key, starts_c, counts, cs
+        fmat_t, order, sorted_key, perm, starts_c, counts, cs
+    )
+    return _shard_call(
+        lambda pf, c, st, ti: _fwd_call(pf, c, st, ti, cs.s),
+        (pair_flat, counts_flat, starts_flat, tileid),
+        tile_shard,
+    )
+
+
+def _render_core_fwd(fmat_t, order, sorted_key, perm, starts_c, counts,
+                     lens, tileid, cs, tile_shard):
+    pair_flat, counts_flat, starts_flat = _assemble_pairs(
+        fmat_t, order, sorted_key, perm, starts_c, counts, cs
     )
     out = _shard_call(
         lambda pf, c, st, ti: _fwd_call(pf, c, st, ti, cs.s),
@@ -726,16 +838,23 @@ def _render_core_fwd(fmat_t, order, sorted_key, perm, starts_c, counts,
     # keep the compacted pair array as a residual: rebuilding it in the
     # backward costs a second [P_cap] gather + transpose
     return out, (pair_flat, order, sorted_key, perm, starts_c, counts,
-                 tileid, out)
+                 lens, tileid, out)
 
 
 def _render_core_bwd(cs: _CoreStatics, tile_shard, res, g_out):
-    (pair_flat, order, sorted_key, perm, starts_c, counts, tileid,
+    (pair_flat, order, sorted_key, perm, starts_c, counts, lens, tileid,
      out) = res
     b, n = order.shape
+    r = perm.shape[1] // cs.n_cap
+    p_dom = cs.n_cap * r  # per-camera candidate domain
+    assert p_dom < (1 << 24), (
+        f"candidate keys ride an f32 feature row; domain {p_dom} "
+        "exceeds exact-int f32 range"
+    )
     lane_base = (jnp.arange(b, dtype=jnp.int32) * cs.lanes)[:, None]
     starts_flat = (starts_c + lane_base).reshape(-1)
     counts_flat = counts.reshape(-1)
+    lens_flat = lens.reshape(-1)
     t_local = jnp.tile(
         jnp.arange(cs.num_tiles, dtype=jnp.int32), b
     )
@@ -756,26 +875,14 @@ def _render_core_bwd(cs: _CoreStatics, tile_shard, res, g_out):
     )
 
     dpaged = _shard_call(
-        lambda pf, c, st, ti, ps, gv: _bwd_call(
-            pf, c, st, ti, ps, gv, b * cs.c_cap, cs.s
+        lambda pf, c, st, ti, ps, ln, gv: _bwd_call(
+            pf, c, st, ti, ps, ln, gv, b * cs.c_cap, cs.s, cs.sort_routing
         ),
-        (pair_flat, counts_flat, starts_flat, t_local, pagestart, gvec),
+        (pair_flat, counts_flat, starts_flat, t_local, pagestart,
+         lens_flat, gvec),
         tile_shard,
         psum_out=True,
     )
-    # candidate-order gather + per-Gaussian reduce. The sorts run
-    # camera-flat 1-D (vmapped sorts get a hostile [1,P] layout — see
-    # _pos2_candidate_order); the row GATHERS run per camera, unrolled:
-    # XLA's gather is index-serialized (~9 ns/index) with slice width
-    # free, so one [*,16] row gather per index set is the fast form,
-    # but row-major [*,16] f32 is lane-padded 16->128 (8x HBM) — doing
-    # it per camera keeps those transients at one camera's size instead
-    # of materializing a B-camera 9 GB resident.
-    r = perm.shape[1] // cs.n_cap
-    pos2 = _pos2_candidate_order(
-        sorted_key, perm, r, cs.p_cap, cs.c_cap, cs.k_cap, cs.rank_bits,
-        cs.num_tiles,
-    ).reshape(b, -1)  # [B, P] camera-local page rows, j-major
     # inverse of the depth order (batch-flat sort, camera-local values)
     iota_bn = jnp.arange(b * n, dtype=jnp.int32)
     okeys = (iota_bn // n) * n + order.reshape(b * n)
@@ -784,23 +891,75 @@ def _render_core_bwd(cs: _CoreStatics, tile_shard, res, g_out):
         jnp.arange(b, dtype=jnp.int32) * n
     )[:, None]
 
-    dfmat_cams = []
-    for i in range(b):
-        pages = dpaged[i * cs.c_cap * _NF : (i + 1) * cs.c_cap * _NF]
-        rows = (
-            pages.reshape(cs.c_cap, _NF, 128)
-            .transpose(0, 2, 1)
-            .reshape(cs.c_cap * 128, _NF)
-        )  # transient, one camera
-        dpr = rows[pos2[i]]  # [P, 16] transient
-        # j-major: sum r contiguous [n_cap, 16] blocks; ranks beyond
-        # the active cap got no candidates -> zero
-        dsorted = jnp.sum(dpr.reshape(r, cs.n_cap, _NF), axis=0)
-        if cs.n_cap < n:
-            dsorted = jnp.pad(dsorted, ((0, n - cs.n_cap), (0, 0)))
-        dfmat_cams.append(dsorted[inv_local[i]].T)  # [16, N]
+    if cs.sort_routing:
+        # SORT ROUTING (round 3): page rows carry their candidate key in
+        # row _FCAND; one multi-payload sort of [page rows + dummy keys
+        # for uncovered candidates] lands the 10 gradient columns at
+        # exactly their j-major candidate positions. Measured
+        # (benchmarks/probe_segsum.py r3): an 11-operand sort costs
+        # ~1.2x a 1-operand sort, while XLA's row gather degrades to
+        # ~23 ns/index at the 2M-candidate training scale — the sort
+        # routing saves ~35 ms/camera/step post-densification; below the
+        # ~1.3M-candidate crossover the gather branch below is faster.
+        covered, cand = _coverage_and_cand(
+            sorted_key, perm, r, cs.p_cap, cs.rank_bits, cs.num_tiles
+        )
+        covered = covered.reshape(b, -1)
+        cand = cand.reshape(b, -1)
+        zeros_p = jnp.zeros((p_dom,), jnp.float32)
+        dfmat_cams = []
+        for i in range(b):
+            pages = dpaged[i * cs.c_cap * _NF : (i + 1) * cs.c_cap * _NF]
+            pg3 = pages.reshape(cs.c_cap, _NF, 128)
+            raw = pg3[:, _FCAND, :].reshape(-1)  # [c_cap*128] f32, cand+1
+            keys_pg = jnp.where(raw > 0.0, raw - 1.0, float(p_dom))
+            dummy = jnp.where(covered[i], float(p_dom), cand[i])
+            ops = [jnp.concatenate([keys_pg, dummy])]
+            for k in range(10):
+                ops.append(
+                    jnp.concatenate([pg3[:, k, :].reshape(-1), zeros_p])
+                )
+            srt = jax.lax.sort(tuple(ops), num_keys=1)
+            # positions [0, p_dom) hold exactly candidate c's gradient
+            # row (real page row if the kernel wrote it, zero dummy
+            # otherwise)
+            dpr = jnp.stack(
+                [c[:p_dom] for c in srt[1:]]
+                + [zeros_p] * (_NF - 10),
+                axis=-1,
+            )  # [P, 16] transient
+            # j-major: sum r contiguous [n_cap, 16] blocks; ranks beyond
+            # the active cap got no candidates -> zero
+            dsorted = jnp.sum(dpr.reshape(r, cs.n_cap, _NF), axis=0)
+            if cs.n_cap < n:
+                dsorted = jnp.pad(dsorted, ((0, n - cs.n_cap), (0, 0)))
+            dfmat_cams.append(dsorted[inv_local[i]].T)  # [16, N]
+    else:
+        # GATHER ROUTING: candidate-order gather + per-Gaussian reduce.
+        # The pos2 sort runs camera-flat 1-D (vmapped sorts get a
+        # hostile [1,P] layout); the row GATHERS run per camera,
+        # unrolled: row-major [*,16] f32 is lane-padded 16->128 (8x HBM)
+        # — per-camera keeps those transients at one camera's size
+        # instead of materializing a B-camera 9 GB resident.
+        pos2 = _pos2_candidate_order(
+            sorted_key, perm, r, cs.p_cap, cs.c_cap, cs.k_cap,
+            cs.rank_bits, cs.num_tiles,
+        ).reshape(b, -1)  # [B, P] camera-local page rows, j-major
+        dfmat_cams = []
+        for i in range(b):
+            pages = dpaged[i * cs.c_cap * _NF : (i + 1) * cs.c_cap * _NF]
+            rows = (
+                pages.reshape(cs.c_cap, _NF, 128)
+                .transpose(0, 2, 1)
+                .reshape(cs.c_cap * 128, _NF)
+            )  # transient, one camera
+            dpr = rows[pos2[i]]  # [P, 16] transient
+            dsorted = jnp.sum(dpr.reshape(r, cs.n_cap, _NF), axis=0)
+            if cs.n_cap < n:
+                dsorted = jnp.pad(dsorted, ((0, n - cs.n_cap), (0, 0)))
+            dfmat_cams.append(dsorted[inv_local[i]].T)  # [16, N]
     dfmat_t = jnp.stack(dfmat_cams)  # [B, 16, N]
-    return dfmat_t, None, None, None, None, None, None
+    return dfmat_t, None, None, None, None, None, None, None
 
 
 _render_core.defvjp(_render_core_fwd, _render_core_bwd)
@@ -871,10 +1030,19 @@ def _core_statics(n, h, w, cfg, tile_capacity, pair_capacity, interpret,
     num_tiles = s.tiles_x * s.tiles_y
     lanes = -(-(p_cap + 2 * _WIN) // 128) * 128
     c_cap = p_cap // 128 + num_tiles + 2  # +guard pages (incl. zero row)
+    p_dom = n_cap * cfg.rect_side**2
+    if cfg.bwd_routing == "auto":
+        # measured crossover (BENCH.md round 3): XLA's row gather costs
+        # 4.5 ns/idx at ~900k candidates but 23 ns/idx at ~2M (source
+        # falls out of cache), while an 11-operand sort stays ~3-7
+        # ns/element — the sort routing wins past ~1.3M candidates
+        sort_routing = p_dom >= 1_300_000
+    else:
+        sort_routing = cfg.bwd_routing == "sort"
     return _CoreStatics(
         s=s, p_cap=p_cap, lanes=lanes, c_cap=c_cap, k_cap=tile_capacity,
         rank_bits=max((n_cap - 1).bit_length(), 1), num_tiles=num_tiles,
-        n_cap=n_cap,
+        n_cap=n_cap, sort_routing=sort_routing,
     )
 
 
@@ -906,7 +1074,7 @@ def _bin_one(means, scales, quats, features, opacities, alive, camera,
     fmat = _feature_matrix(prims)
     starts_c = jnp.minimum(pairs.starts[:-1], cs.p_cap)
     return (prims, fmat, pairs.order, pairs.sorted_key, pairs.perm,
-            starts_c, pairs.counts, pairs.overflow)
+            starts_c, pairs.counts, pairs.lens, pairs.overflow)
 
 
 def _finish(acc_b, prims_b, overflow, background, cs, h, w, batched):
@@ -949,17 +1117,17 @@ def _rasterize_impl(means, scales, quats, features, opacities, alive,
             for i in range(b_cams)
         ]
         (prims_b, fmat_b, order_b, skey_b, ckey_b, starts_b, counts_b,
-         ovf_b) = jax.tree.map(lambda *xs: jnp.stack(xs), *per_cam)
+         lens_b, ovf_b) = jax.tree.map(lambda *xs: jnp.stack(xs), *per_cam)
     else:
         outs = bin_cam(cameras)
         (prims_b, fmat_b, order_b, skey_b, ckey_b, starts_b, counts_b,
-         ovf_b) = jax.tree.map(lambda x: x[None], outs)
+         lens_b, ovf_b) = jax.tree.map(lambda x: x[None], outs)
 
     b = fmat_b.shape[0]
     tileid = jnp.tile(jnp.arange(cs.num_tiles, dtype=jnp.int32), b)
     acc = _render_core(
-        fmat_b, order_b, skey_b, ckey_b, starts_b, counts_b, tileid, cs,
-        tile_shard,
+        fmat_b, order_b, skey_b, ckey_b, starts_b, counts_b, lens_b,
+        tileid, cs, tile_shard,
     )
     acc_b = acc.reshape(b, cs.num_tiles, 8, cs.s.pix)
     return _finish(acc_b, prims_b, ovf_b, background, cs, h, w, batched)

@@ -42,7 +42,7 @@ def make_camera(h=64, w=64, dist=3.0, fovy=0.8):
     return camera_from_c2w(c2w, fovy, h, w)
 
 
-def run(fn, params, camera, bg, sh_degree=0, **kw):
+def run(fn, params, camera, bg, sh_degree=0, cfg=None, **kw):
     means, log_scales, quats, feats, opa_logits, alive = params
     n = means.shape[0]
     off = kw.pop("means2d_offset", jnp.zeros((n, 2), jnp.float32))
@@ -56,7 +56,7 @@ def run(fn, params, camera, bg, sh_degree=0, **kw):
         camera,
         bg,
         sh_degree,
-        CFG,
+        cfg if cfg is not None else CFG,
         means2d_offset=off,
         **kw,
     )
@@ -111,7 +111,14 @@ class TestForwardParity:
 
 
 class TestGradientParity:
-    def test_all_param_grads_allclose(self):
+    # both backward routings (the size-crossover "sort" multi-payload
+    # routing and the small-scale "gather" routing) must match the
+    # oracle — see rasterize_tiled._render_core_bwd
+    @pytest.mark.parametrize("routing", ["gather", "sort"])
+    def test_all_param_grads_allclose(self, routing):
+        import dataclasses
+
+        cfg = dataclasses.replace(CFG, bwd_routing=routing)
         params = make_scene(n=250, n_dead=30, seed=1)
         cam = make_camera()
         rng = np.random.RandomState(11)
@@ -134,7 +141,7 @@ class TestGradientParity:
             rasterize_reference, *params, off
         )
         g_out = jax.grad(loss, argnums=argnums)(
-            rasterize_tiled, *params, off, tile_capacity=512
+            rasterize_tiled, *params, off, tile_capacity=512, cfg=cfg
         )
         for name, a, b in zip(
             ("means", "log_scales", "quats", "sh", "opa", "means2d"), g_ref, g_out
@@ -182,18 +189,51 @@ class TestBatched:
 
 
 class TestGatherVJPEdgeCases:
-    def test_grads_finite_under_overflow(self):
+    @pytest.mark.parametrize("routing", ["gather", "sort"])
+    def test_grads_finite_under_overflow(self, routing):
         # dropped pairs (capacity overflow) must contribute zero gradient
+        # under BOTH backward routings (K-cap drops are in-segment
+        # candidates the sort routing covers with key-only blocks)
+        import dataclasses
+
+        cfg = dataclasses.replace(CFG, bwd_routing=routing)
         params = make_scene(n=300, n_dead=0, seed=7)
         cam = make_camera()
 
         def loss(means):
             out = run(rasterize_tiled, (means,) + params[1:], cam, BG,
-                      tile_capacity=128)
+                      tile_capacity=128, cfg=cfg)
             return jnp.sum(out["image"])
 
         g = jax.grad(loss)(params[0])
         assert np.isfinite(np.asarray(g)).all()
+
+    @pytest.mark.parametrize("routing", ["gather", "sort"])
+    def test_routings_agree_under_pair_budget(self, routing):
+        # pair-budget truncation (overflow > 0) + both routings must
+        # agree with each other and stay oracle-shaped: compare against
+        # the other routing directly
+        import dataclasses
+
+        params = make_scene(n=400, n_dead=0, seed=3)
+        cam = make_camera()
+
+        def grads(routing):
+            cfg = dataclasses.replace(CFG, bwd_routing=routing)
+
+            def loss(means):
+                out = run(rasterize_tiled, (means,) + params[1:], cam, BG,
+                          pair_capacity=1024, cfg=cfg)
+                return jnp.sum(out["image"]) + jnp.sum(out["depth"])
+
+            return jax.grad(loss)(params[0])
+
+        g_gather = grads("gather")
+        g_sort = grads("sort")
+        np.testing.assert_allclose(
+            np.asarray(g_sort), np.asarray(g_gather), atol=1e-6,
+            err_msg="sort vs gather routing disagree under pair budget",
+        )
 
     def test_empty_tiles_and_empty_scene_grads(self):
         params = make_scene(n=64, n_dead=64)
