@@ -27,7 +27,19 @@ def main():
     parser.add_argument("--capacity", type=int, default=4096)
     args = parser.parse_args()
 
+    import os
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
     import jax
+
+    # the sitecustomize force-registers the axon TPU backend and
+    # overrides jax_platforms at import time; the env var alone is not
+    # enough (same dance as tests/conftest.py)
+    jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from humangaussian_tpu.dist.parallel import make_dp_train_step, make_mesh

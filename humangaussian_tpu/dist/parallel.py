@@ -39,10 +39,25 @@ from humangaussian_tpu.train.system import TrainState
 
 def multihost_init():
     """jax.distributed.initialize() when running under a multi-host
-    launcher (no-op for single-process)."""
+    launcher (no-op without JAX_COORDINATOR_ADDRESS).
+
+    On TPU pods jax auto-detects the topology; for explicit launchers
+    (incl. the two-process CPU test, tests/test_multiprocess.py) the
+    process count/id come from JAX_NUM_PROCESSES / JAX_PROCESS_ID."""
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if nproc is not None and pid is not None:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(nproc),
+            process_id=int(pid),
+        )
+    else:
         jax.distributed.initialize()
 
 
