@@ -118,9 +118,19 @@ class DualBranchGuidance:
         )
         return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
 
+    @property
+    def branch_num(self) -> int:
+        return getattr(self.unet.cfg, "branch_num", 1)
+
     # ---- UNet scoring --------------------------------------------------
     def _unet_eps(self, rgb_lat_in, depth_lat_in, t3, text_embeddings):
-        b3 = rgb_lat_in.shape[0]
+        """depth_lat_in: one [kB,h,w,8] array (branch_num=1) or a list of
+        branch_num arrays (unet_rgbdepth.py:211-216,1102-1160). Returns
+        [kB,h,w,4*(1+branch_num)] channel-concat predictions."""
+        b3 = (
+            depth_lat_in[0] if isinstance(depth_lat_in, (list, tuple))
+            else rgb_lat_in
+        ).shape[0]
         time_ids = jnp.tile(
             jnp.array(
                 [[self.cfg.original_size, self.cfg.original_size, 0, 0,
@@ -132,7 +142,7 @@ class DualBranchGuidance:
         out = self.unet.apply(
             self.unet_params, rgb_lat_in, depth_lat_in, t3, text_embeddings,
             time_ids,
-        )  # [3B,h,w,8]
+        )  # [kB,h,w,4*(1+branch_num)]
         return out
 
     def compute_grad(self, latents, depth_latents, whole_latents, t,
@@ -143,31 +153,52 @@ class DualBranchGuidance:
         text_embeddings: [3B,L,D] in [cond | neg/uncond | null] order;
         t: [B] int. Returns grad [B,h,w,8].
         """
+        depth_list = (
+            list(depth_latents)
+            if isinstance(depth_latents, (list, tuple))
+            else [depth_latents]
+        )
+        nb = len(depth_list)
         b = latents.shape[0]
         k_noise, k_dnoise = jax.random.split(rng)
+        # branch 0 keeps the historical k_dnoise stream (bit-identical
+        # single-branch behavior); extra branches fold in their index
+        dkeys = [
+            k_dnoise if i == 0 else jax.random.fold_in(k_dnoise, i)
+            for i in range(nb)
+        ]
         if sample_idx is None:
             noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
-            dnoise = jax.random.normal(
-                k_dnoise, depth_latents.shape, jnp.float32
-            )
+            dnoises = [
+                jax.random.normal(k, dl.shape, jnp.float32)
+                for k, dl in zip(dkeys, depth_list)
+            ]
         else:
             noise = per_sample_normal(k_noise, sample_idx, latents.shape)
-            dnoise = per_sample_normal(
-                k_dnoise, sample_idx, depth_latents.shape
-            )
+            dnoises = [
+                per_sample_normal(k, sample_idx, dl.shape)
+                for k, dl in zip(dkeys, depth_list)
+            ]
         latents_noisy = self.schedule.add_noise(latents, noise, t)
-        depth_noisy = self.schedule.add_noise(depth_latents, dnoise, t)
+        depth_noisys = [
+            self.schedule.add_noise(dl, dn, t)
+            for dl, dn in zip(depth_list, dnoises)
+        ]
 
         def unet_k(k, text):
             lat_in = jnp.concatenate(
                 [jnp.tile(latents_noisy, (k, 1, 1, 1)),
                  jnp.tile(whole_latents, (k, 1, 1, 1))], axis=-1
             )
-            dep_in = jnp.concatenate(
-                [jnp.tile(depth_noisy, (k, 1, 1, 1)),
-                 jnp.tile(whole_latents, (k, 1, 1, 1))], axis=-1
-            )
-            return self._unet_eps(lat_in, dep_in, jnp.tile(t, (k,)), text)
+            dep_ins = [
+                jnp.concatenate(
+                    [jnp.tile(dn, (k, 1, 1, 1)),
+                     jnp.tile(whole_latents, (k, 1, 1, 1))], axis=-1
+                )
+                for dn in depth_noisys
+            ]
+            dep_arg = dep_ins if nb > 1 else dep_ins[0]
+            return self._unet_eps(lat_in, dep_arg, jnp.tile(t, (k,)), text)
 
         if self.cfg.mode == "anpg":
             # NFSD decomposition over a 3-way [cond|neg|null] batch
@@ -193,7 +224,7 @@ class DualBranchGuidance:
                 noise_pred = rescale_noise_cfg(
                     noise_pred, e_text, self.cfg.guidance_rescale
                 )
-            noise_all = jnp.concatenate([noise, dnoise], axis=-1)
+            noise_all = jnp.concatenate([noise] + dnoises, axis=-1)
             score = noise_pred - noise_all
         else:
             raise ValueError(f"unknown guidance mode {self.cfg.mode!r}")
@@ -365,13 +396,24 @@ class DualBranchGuidance:
         self,
         pose_image,  # [B,H,W,3] skeleton conditioning render
         rgb,  # [B,H,W,3] differentiable render
-        depth,  # [B,H,W,3] normalized depth, 3-channel
+        depth,  # [B,H,W,3] normalized structure image (3-channel), or a
+        #     list of branch_num structure images when the UNet was built
+        #     with branch_num > 1 (unet_rgbdepth.py:211-216)
         text_embeddings,  # [3B,L,D] = [cond | neg | null]
         t,  # [B] int timesteps
         rng,
         grad_clip_val=None,
         sample_idx=None,  # [B] global sample ids -> shard-invariant noise
     ):
+        depths = list(depth) if isinstance(depth, (list, tuple)) else [depth]
+        nb = self.branch_num
+        if len(depths) != nb:
+            raise ValueError(
+                f"got {len(depths)} structure images for a branch_num="
+                f"{nb} UNet"
+            )
+        if self.cfg.mode == "sjc" and nb != 1:
+            raise NotImplementedError("SJC guidance is single-branch")
         b = rgb.shape[0]
         s = self.cfg.image_size
         k_rgb, k_depth, k_pose, k_grad = jax.random.split(rng, 4)
@@ -389,10 +431,13 @@ class DualBranchGuidance:
         if self.cfg.remat_encode:
             encode = jax.checkpoint(encode)
         latents = encode(resize(rgb), k_rgb)
-        depth_latents = encode(resize(depth), k_depth)
-        depth_latents = (
-            (depth_latents - DEPTH_MEAN) / DEPTH_STD * RGB_STD + RGB_MEAN
-        )
+        depth_latents = [
+            (encode(
+                resize(d),
+                k_depth if i == 0 else jax.random.fold_in(k_depth, i),
+            ) - DEPTH_MEAN) / DEPTH_STD * RGB_STD + RGB_MEAN
+            for i, d in enumerate(depths)
+        ]
         whole_latents = self.encode_images(resize(pose_image), k_pose, sample_idx)
         whole_latents = (
             (whole_latents - WHOLE_MEAN) / WHOLE_STD * RGB_STD + RGB_MEAN
@@ -404,7 +449,8 @@ class DualBranchGuidance:
         )
         grad = grad_fn(
             jax.lax.stop_gradient(latents),
-            jax.lax.stop_gradient(depth_latents),
+            jax.lax.stop_gradient(depth_latents[0]) if nb == 1
+            else [jax.lax.stop_gradient(d) for d in depth_latents],
             whole_latents,
             t,
             text_embeddings,
@@ -413,15 +459,18 @@ class DualBranchGuidance:
         )
         if grad_clip_val is not None:
             grad = jnp.clip(grad, -grad_clip_val, grad_clip_val)
-        g_rgb, g_depth = grad[..., :4], grad[..., 4:8]
+        g_rgb = grad[..., :4]
 
-        # reparameterized SDS loss (:799-810)
+        # reparameterized SDS loss (:799-810), one lw_depth term per
+        # structure branch
         target = jax.lax.stop_gradient(latents - g_rgb)
         loss_sds = 0.5 * jnp.sum((latents - target) ** 2) / b
-        d_target = jax.lax.stop_gradient(depth_latents - g_depth)
-        loss_sds = loss_sds + self.cfg.lw_depth * jnp.sum(
-            (depth_latents - d_target) ** 2
-        ) / b
+        for i, dl in enumerate(depth_latents):
+            g_d = grad[..., 4 * (i + 1) : 4 * (i + 2)]
+            d_target = jax.lax.stop_gradient(dl - g_d)
+            loss_sds = loss_sds + self.cfg.lw_depth * jnp.sum(
+                (dl - d_target) ** 2
+            ) / b
         return {
             "loss_sds": loss_sds,
             "grad_norm": jnp.linalg.norm(grad),
