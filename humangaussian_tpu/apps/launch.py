@@ -76,9 +76,15 @@ def build_system(cfg: dict):
     skel.load_smplx(model).scale(-10)
 
     # --- prompt embeddings ---
+    gtype = sys_cfg.get("guidance", {}).get("type", "dual-branch")
     pp_cfg_raw = dict(sys_cfg.get("prompt_processor", {}))
     pp_cfg_raw.setdefault(
         "model_path", pp_cfg_raw.pop("pretrained_model_name_or_path", "")
+    )
+    # DeepFloyd conditions on T5 embeddings (deepfloyd_prompt_processor);
+    # explicit prompt_processor.encoder_type still wins
+    pp_cfg_raw.setdefault(
+        "encoder_type", "t5" if gtype == "deep-floyd" else "clip"
     )
     prompt_proc = PromptProcessor(take(PromptProcessorConfig, pp_cfg_raw))
     embeddings = prompt_proc()
@@ -89,6 +95,20 @@ def build_system(cfg: dict):
 
     g_raw = dict(sys_cfg.get("guidance", {}))
     arch = g_raw.get("arch", "sd2-base")  # "tiny" for smoke tests
+    if gtype == "deep-floyd":
+        guidance = _build_deep_floyd(g_raw, arch, take)
+        gd_cfg0 = take(GaussianDreamerConfig, sys_cfg)
+        return GaussianDreamerSystem(
+            gd_cfg0, skel, guidance, embeddings,
+            camera_cfg=take(RandomCameraConfig, data_cfg),
+            optim_cfg=take(GaussianOptimConfig, sys_cfg.get("optimizer", {})),
+            raster_cfg=take(RasterizeConfig, sys_cfg.get("rasterizer", {})),
+        )
+    if gtype != "dual-branch":
+        raise ValueError(
+            f"unknown system.guidance.type {gtype!r}; expected "
+            "'dual-branch' or 'deep-floyd'"
+        )
     if arch == "tiny":
         unet_cfg, vae_cfg = TINY_TEST_CONFIG, tiny_vae_config()
         g_raw.setdefault("latent_size", 8)
@@ -259,3 +279,48 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def _build_deep_floyd(g_raw: dict, arch: str, take):
+    """system.guidance.type == "deep-floyd": pixel-space IF guidance
+    wrapped in the system-call adapter (reference deep_floyd_guidance.py;
+    weights live in the checkpoint's `unet/` subfolder)."""
+    import jax
+    import jax.numpy as jnp
+
+    from humangaussian_tpu.guidance.convert import (
+        convert_unet_state_dict, load_torch_state_dict)
+    from humangaussian_tpu.guidance.deep_floyd import (
+        IF_I_XL_CONFIG, TINY_IF_CONFIG, DeepFloydConfig, DeepFloydGuidance,
+        DeepFloydSystemGuidance, if_schedule)
+    from humangaussian_tpu.guidance.unet import SingleUNet
+
+    if arch == "tiny":
+        if_cfg = TINY_IF_CONFIG
+        g_raw.setdefault("image_size", 16)
+    elif arch in ("sd2-base", "if-xl"):
+        if_cfg = IF_I_XL_CONFIG
+    else:
+        raise ValueError(f"unknown deep-floyd arch {arch!r}")
+    unet = SingleUNet(if_cfg)
+    unet_sd = load_torch_state_dict(_find_weights(g_raw["model_key"], "unet"))
+    unet_params, unmatched = convert_unet_state_dict(
+        unet_sd, num_levels=len(if_cfg.block_out_channels)
+    )
+    if unmatched:
+        print(f"warning: {len(unmatched)} unmatched IF unet keys")
+    if g_raw.get("half_precision_weights", True):
+        unet_params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if getattr(x, "dtype", None) == jnp.float32
+            else x,
+            unet_params,
+        )
+    return DeepFloydSystemGuidance(
+        DeepFloydGuidance(
+            unet=unet,
+            unet_params=unet_params,
+            schedule=if_schedule(),
+            cfg=take(DeepFloydConfig, g_raw),
+        )
+    )

@@ -175,3 +175,45 @@ class DeepFloydGuidance:
             "grad_norm": jnp.linalg.norm(grad),
             "grad": jax.lax.stop_gradient(grad),
         }
+
+
+@flax.struct.dataclass
+class DeepFloydSystemGuidance:
+    """Adapter exposing the dual-branch training-call signature so the
+    GaussianDreamer system (train/system.py batch_loss) can train
+    against DeepFloyd IF — the reference's texture_structure_joint=false
+    guidance_type="deep-floyd-guidance" configuration. IF is a
+    pixel-space single-stream model: the pose/depth conditioning images
+    are ignored, and the [cond|neg|null] embedding layout's first two
+    segments drive the 2-way text-as-base CFG
+    (deep_floyd_guidance.py:210-216)."""
+
+    df: DeepFloydGuidance
+
+    @property
+    def schedule(self) -> DiffusionSchedule:
+        # the system samples/anneals timesteps off guidance.schedule
+        return self.df.schedule
+
+    def __call__(self, pose_image, rgb, depth, text_embeddings, t, rng,
+                 grad_clip_val=None, sample_idx=None):
+        b = rgb.shape[0]
+        if sample_idx is None:
+            sample_idx = jnp.arange(b, dtype=jnp.int32)
+        s = self.df.cfg.image_size
+        latents = jax.image.resize(rgb * 2.0 - 1.0, (b, s, s, 3), "bilinear")
+        noise = per_sample_normal(rng, sample_idx, latents.shape)
+        grad = self.df.compute_grad_sds(
+            jax.lax.stop_gradient(latents), t, text_embeddings[: 2 * b],
+            noise,
+        )
+        grad = jnp.nan_to_num(grad)
+        if grad_clip_val is not None:
+            grad = jnp.clip(grad, -grad_clip_val, grad_clip_val)
+        target = jax.lax.stop_gradient(latents - grad)
+        loss_sds = 0.5 * jnp.sum((latents - target) ** 2) / b
+        return {
+            "loss_sds": loss_sds,
+            "grad_norm": jnp.linalg.norm(grad),
+            "grad": jax.lax.stop_gradient(grad),
+        }

@@ -200,6 +200,9 @@ class PromptProcessorConfig:
     cache_dir: str = ".humangaussian_cache/text_embeddings"
     prompt_library_path: str = ""  # JSON for "lib:" prompts
     use_cache: bool = True
+    encoder_type: str = "clip"  # "clip" (SD2) | "t5" (DeepFloyd IF) —
+    #   reference ships one prompt-processor subclass per encoder
+    #   (texture_structure/stable_diffusion vs deepfloyd_prompt_processor)
 
 
 def _hash_prompt(model: str, prompt: str) -> str:
@@ -276,6 +279,44 @@ def get_debiased_prompts(
     return [" ".join(w for w in p if w) for p in prompts]
 
 
+def hf_t5_encode_fn(model_path: str) -> Callable[[list[str]], np.ndarray]:
+    """Host-side T5 text encoder from a local HF checkpoint — the
+    DeepFloyd IF prompt pipeline (reference
+    deepfloyd_prompt_processor.py: T5EncoderModel + attention-masked
+    encode at max_length 77). Same layout convention as the CLIP
+    encoder: `tokenizer/` + `text_encoder/` subfolders or a flat dir."""
+
+    def encode(prompts: list[str]) -> np.ndarray:
+        import torch
+        from transformers import AutoTokenizer, T5EncoderModel
+
+        tok_path = os.path.join(model_path, "tokenizer")
+        enc_path = os.path.join(model_path, "text_encoder")
+        tokenizer = AutoTokenizer.from_pretrained(
+            tok_path if os.path.isdir(tok_path) else model_path
+        )
+        encoder = T5EncoderModel.from_pretrained(
+            enc_path if os.path.isdir(enc_path) else model_path
+        )
+        encoder.eval()
+        max_len = min(int(tokenizer.model_max_length), 77)
+        with torch.no_grad():
+            tokens = tokenizer(
+                prompts,
+                padding="max_length",
+                max_length=max_len,
+                truncation=True,
+                add_special_tokens=True,
+                return_tensors="pt",
+            )
+            out = encoder(
+                tokens.input_ids, attention_mask=tokens.attention_mask
+            )[0]
+        return out.float().numpy()
+
+    return encode
+
+
 def hf_clip_encode_fn(model_path: str) -> Callable[[list[str]], np.ndarray]:
     """Build a host-side CLIP text encoder from a local HF checkpoint
     (tokenizer + CLIPTextModel, torch CPU) — the in-process analogue of
@@ -325,7 +366,12 @@ class PromptProcessor:
         encode_fn: Callable[[list[str]], np.ndarray] | None = None,
     ):
         self.cfg = cfg
-        self.encode_fn = encode_fn or hf_clip_encode_fn(cfg.model_path)
+        if encode_fn is None:
+            builder = {"clip": hf_clip_encode_fn, "t5": hf_t5_encode_fn}[
+                cfg.encoder_type
+            ]
+            encode_fn = builder(cfg.model_path)
+        self.encode_fn = encode_fn
         prompt = cfg.prompt
         if prompt.startswith("lib:"):
             prompt = resolve_library_prompt(prompt, cfg.prompt_library_path)
