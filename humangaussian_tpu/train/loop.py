@@ -79,6 +79,11 @@ def run_training(
     logger=None,  # utils.loggers.MultiLogger (TB/CSV/wandb fan-out)
     overflow_warn: int = 1,  # dropped pairs per step that triggers a warning
     overflow_limit: int | None = None,  # absolute dropped-pair abort (opt-in)
+    overflow_grow_threshold: int = 50_000,  # persistent drops that grow
+    #     the tile-capacity ladder (VERDICT r2 #3: adaptive response
+    #     instead of silent deepest-first truncation)
+    overflow_patience: int = 3,  # consecutive logged rows over threshold
+    tile_cap_max: int = 16384,
     progress_path: str | None = None,  # % progress file (ProgressCallback)
 ):
     """Train to max_steps. Returns (state, metrics_history)."""
@@ -91,9 +96,11 @@ def run_training(
 
     alive_now = int(np.asarray(jax.device_get(state.scene.alive.sum())))
     bucket = active_rank_bucket(alive_now, cfg.capacity)
+    tile_cap = cfg.tile_capacity
+    ovf_streak = 0
 
     for _ in range(start_step, max_steps):
-        state, metrics = system.train_step(state, bucket)
+        state, metrics = system.train_step(state, bucket, tile_cap)
         state, dens_info = system.maybe_densify(state)
         step = int(state.step)
         if dens_info is not None:
@@ -148,6 +155,21 @@ def run_training(
                         f"tile_capacity or cfg.pair_factor and resume "
                         f"from the last checkpoint"
                     )
+            # adaptive tile-capacity ladder: persistent heavy overflow
+            # means the densified scene exceeds the per-tile pair cap;
+            # grow it 1.5x (one recompile per rung) instead of silently
+            # dropping image content every step
+            ovf_streak = ovf_streak + 1 if ovf > overflow_grow_threshold else 0
+            if ovf_streak >= overflow_patience and tile_cap < tile_cap_max:
+                new_cap = min(
+                    -(-int(tile_cap * 1.5) // 128) * 128, tile_cap_max
+                )
+                log_fn(
+                    f"step {step}: overflow persisted {ovf_streak} checks "
+                    f"({ovf} pairs) — tile_capacity {tile_cap} -> {new_cap}"
+                )
+                tile_cap = new_cap
+                ovf_streak = 0
             history.append(row)
             if logger is not None:
                 logger.log_scalars(step, row)

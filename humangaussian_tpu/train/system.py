@@ -176,7 +176,8 @@ class GaussianDreamerSystem:
     # ---- rendering ----------------------------------------------------
     def render_batch(self, scene: GaussianScene, cameras: CameraBatch,
                      height: int, width: int, background=None,
-                     means2d_offset=None, active_cap=None, raster_cfg=None):
+                     means2d_offset=None, active_cap=None, raster_cfg=None,
+                     tile_cap=None):
         """vmapped tiled render over the camera batch. Returns dict of
         stacked images plus radii [B, C]."""
         bg = self.background if background is None else background
@@ -191,7 +192,7 @@ class GaussianDreamerSystem:
             return rasterize_tiled_batch(
                 means, scales, quats, feats, opas, scene.alive, cams, bg,
                 self.cfg.sh_degree, rcfg, means2d_offset=off,
-                tile_capacity=self.cfg.tile_capacity,
+                tile_capacity=tile_cap or self.cfg.tile_capacity,
                 active_cap=active_cap,
             )
 
@@ -226,7 +227,7 @@ class GaussianDreamerSystem:
     def batch_loss(
         self, params, offset, scene_template, cameras, pose, text3, t,
         key, step, axis_name=None, n_shards=1, global_batch=None,
-        sample_idx=None, guidance=None, active_cap=None,
+        sample_idx=None, guidance=None, active_cap=None, tile_cap=None,
     ):
         """Loss over a (shard of the) camera batch.
 
@@ -241,7 +242,7 @@ class GaussianDreamerSystem:
         scene = scene_template.replace_params(params)
         out = self.render_batch(
             scene, cameras, self.camera_cfg.height, self.camera_cfg.width,
-            means2d_offset=offset, active_cap=active_cap,
+            means2d_offset=offset, active_cap=active_cap, tile_cap=tile_cap,
         )
         images = out["image"]  # [b,H,W,3]
         depths = out["depth"][..., None]  # [b,H,W,1]
@@ -318,7 +319,8 @@ class GaussianDreamerSystem:
         return key, k_guid, cameras, pose, text3, t
 
     # ---- the train step ----------------------------------------------
-    def train_step(self, state: TrainState, active_cap: int | None = None):
+    def train_step(self, state: TrainState, active_cap: int | None = None,
+                   tile_cap: int | None = None):
         """Guidance (the big UNet/VAE param pytrees) rides as a jit
         ARGUMENT — closing over it would capture gigabytes of constants
         in the compiled program.
@@ -326,11 +328,16 @@ class GaussianDreamerSystem:
         `active_cap` (static; a power-of-two bucket >= the alive count,
         chosen by train/loop.py) keeps the render's candidate sorts
         sized by the LIVE scene instead of the padded capacity — each
-        distinct bucket compiles once as the scene grows."""
-        return self._train_step(state, self.guidance, active_cap)
+        distinct bucket compiles once as the scene grows.
 
-    @functools.partial(jax.jit, static_argnums=(0, 3))
-    def _train_step(self, state: TrainState, guidance, active_cap=None):
+        `tile_cap` (static) overrides cfg.tile_capacity — train/loop.py
+        grows it on a ladder when pair overflow persists (dense scenes
+        exceed the per-tile pair cap after densification)."""
+        return self._train_step(state, self.guidance, active_cap, tile_cap)
+
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
+    def _train_step(self, state: TrainState, guidance, active_cap=None,
+                    tile_cap=None):
         cfg = self.cfg
         key, k_guid, cameras, pose, text3, t = self.sample_step_inputs(state)
         step = state.step
@@ -341,6 +348,7 @@ class GaussianDreamerSystem:
             return self.batch_loss(
                 params, offset, state.scene, cameras, pose, text3, t,
                 k_guid, step, guidance=guidance, active_cap=active_cap,
+                tile_cap=tile_cap,
             )
 
         (loss, aux), grads = jax.value_and_grad(
