@@ -111,12 +111,27 @@ class PBRMaterial(nn.Module):
         h = l + v
         h = h / (jnp.linalg.norm(h, axis=-1, keepdims=True) + 1e-8)
         ndl = jnp.maximum(jnp.sum(normal * l, -1, keepdims=True), 0.0)
+        ndv = jnp.maximum(jnp.sum(normal * v, -1, keepdims=True), 0.0)
         ndh = jnp.maximum(jnp.sum(normal * h, -1, keepdims=True), 0.0)
+        vdh = jnp.maximum(jnp.sum(v * h, -1, keepdims=True), 0.0)
+        # full Cook-Torrance (pbr_material.py / nvdiffrec bsdf): GGX
+        # distribution D, Fresnel-Schlick F, Smith-GGX geometry G
         a2 = roughness**4
         dist = a2 / (jnp.pi * ((ndh**2) * (a2 - 1.0) + 1.0) ** 2 + 1e-6)
         f0 = 0.04 * (1 - metallic) + albedo * metallic
-        diffuse = albedo * (1 - metallic) * ndl
-        spec = f0 * dist * ndl
+        fresnel = f0 + (1.0 - f0) * (1.0 - vdh) ** 5
+
+        def g1(ndx):
+            return 2.0 * ndx / (
+                ndx + jnp.sqrt(a2 + (1.0 - a2) * ndx**2) + 1e-8
+            )
+
+        geom = g1(ndl) * g1(ndv)
+        spec = dist * fresnel * geom / (4.0 * ndl * ndv + 1e-6) * ndl
+        # energy-conserving diffuse: the Fresnel-reflected fraction does
+        # not also scatter diffusely
+        kd = (1.0 - fresnel) * (1.0 - metallic)
+        diffuse = kd * albedo * ndl
         return jnp.clip(diffuse + spec, 0.0, 1.0)
 
 

@@ -54,6 +54,42 @@ class RendererConfig:
     radius: float = 1.0
     randomized: bool = True
     near_plane: float = 0.05
+    num_importance_samples: int = 0  # coarse-to-fine: extra samples
+    #   drawn from the coarse pass's weight PDF (the static-shape
+    #   XLA-friendly replacement for nerfacc's occupancy-grid estimator,
+    #   nerf_volume_renderer.py:37-90 — same goal: concentrate samples
+    #   where the field is, instead of paying empty space in full)
+
+
+def sample_pdf(t, weights, n_samples: int, rng=None):
+    """Inverse-CDF resampling of n_samples new depths from the coarse
+    pass's piecewise-constant weight PDF (NeRF fine sampling; static
+    shapes). t [R,S] coarse sample depths, weights [R,S] -> [R,n]."""
+    r, s = t.shape
+    w = jax.lax.stop_gradient(weights) + 1e-5  # sampling is an estimator
+    cdf = jnp.cumsum(w, axis=-1)
+    cdf = cdf / cdf[:, -1:]
+    u = (jnp.arange(n_samples, dtype=jnp.float32) + 0.5) / n_samples
+    if rng is not None:
+        u = u[None, :] + (
+            jax.random.uniform(rng, (r, n_samples)) - 0.5
+        ) / n_samples
+        u = jnp.clip(u, 1e-5, 1.0 - 1e-5)
+    else:
+        u = jnp.broadcast_to(u, (r, n_samples))
+    idx = jax.vmap(jnp.searchsorted)(cdf, u)  # [R,n] bin indices
+    idx = jnp.clip(idx, 0, s - 1)
+    cdf_lo = jnp.where(
+        idx > 0, jnp.take_along_axis(cdf, jnp.maximum(idx - 1, 0), 1), 0.0
+    )
+    cdf_hi = jnp.take_along_axis(cdf, idx, axis=-1)
+    t_lo = jnp.where(
+        idx > 0, jnp.take_along_axis(t, jnp.maximum(idx - 1, 0), 1),
+        jnp.take_along_axis(t, idx, axis=-1),
+    )
+    t_hi = jnp.take_along_axis(t, idx, axis=-1)
+    frac = (u - cdf_lo) / jnp.maximum(cdf_hi - cdf_lo, 1e-8)
+    return t_lo + frac * (t_hi - t_lo)
 
 
 class NerfVolumeRenderer:
@@ -79,18 +115,45 @@ class NerfVolumeRenderer:
         t_near, t_far = ray_aabb(origins, dirs, c.radius, c.near_plane)
         frac = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
         if c.randomized and rng is not None:
-            jitter = (jax.random.uniform(rng, (r, s)) - 0.5) / s
+            k_coarse, k_fine = jax.random.split(rng)
+            jitter = (jax.random.uniform(k_coarse, (r, s)) - 0.5) / s
             frac = frac[None, :] + jitter
         else:
+            k_fine = None
             frac = jnp.broadcast_to(frac, (r, s))
         t = t_near[:, None] + (t_far - t_near)[:, None] * frac  # [R,S]
-        dt = (t_far - t_near)[:, None] / s
+
+        if c.num_importance_samples > 0:
+            # coarse sigma-only pass -> importance-resample -> the union
+            # of coarse+fine depths feeds the full shaded pass below
+            dt_c = (t_far - t_near)[:, None] / s
+            pts_c = origins[:, None, :] + dirs[:, None, :] * t[..., None]
+            geo_c = self.geometry.apply(params["geometry"], pts_c)
+            sigma_c = jax.lax.stop_gradient(geo_c["density"][..., 0])
+            alpha_c = 1.0 - jnp.exp(-sigma_c * dt_c)
+            trans_c = jnp.cumprod(1.0 - alpha_c + 1e-10, axis=-1)
+            trans_c = jnp.concatenate(
+                [jnp.ones_like(trans_c[:, :1]), trans_c[:, :-1]], axis=-1
+            )
+            t_fine = sample_pdf(
+                t, alpha_c * trans_c, c.num_importance_samples, k_fine
+            )
+            t = jnp.sort(jnp.concatenate([t, t_fine], axis=-1), axis=-1)
+
+        if c.num_importance_samples > 0:
+            # per-section dt from the (merged, non-uniform) depths
+            dt = jnp.diff(
+                t, axis=-1,
+                append=jnp.maximum(t_far, t[:, -1] + 1e-4)[:, None],
+            )
+        else:
+            dt = (t_far - t_near)[:, None] / s
         pts = origins[:, None, :] + dirs[:, None, :] * t[..., None]
 
         geo = self.geometry.apply(
             params["geometry"], pts, output_normal=output_normal
         )
-        sigma = geo["density"][..., 0]  # [R,S]
+        sigma = geo["density"][..., 0]  # [R,S(+F)]
         alpha = 1.0 - jnp.exp(-sigma * dt)
         trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
         trans = jnp.concatenate(

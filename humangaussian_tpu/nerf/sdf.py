@@ -159,10 +159,17 @@ class VolumeGrid(nn.Module):
 class NeusVolumeRenderer:
     """NeuS renderer over static stratified samples.
 
-    alpha_i = clip((Phi(s*sdf_i) - Phi(s*sdf_{i+1})) / Phi(s*sdf_i), 0, 1)
-    with Phi the logistic CDF and s a LEARNED inverse std (the
-    `variance` parameter trained alongside the field,
-    neus_volume_renderer.py cos-anneal omitted: eval form)."""
+    NeuS section alpha with the official cos-annealed estimator
+    (neus_volume_renderer.py get_alpha): the section's prev/next SDF are
+    extrapolated from the RAY-DIRECTIONAL derivative d(sdf)/dt — which
+    IS dot(grad sdf, dir), estimated from consecutive samples without a
+    gradient pass — annealed by `cos_anneal_ratio` (0 at the start of
+    training: isotropic 0.5*(1-cos) weighting that trains from all view
+    angles; 1 after the anneal window: only descending sections
+    contribute), then
+      alpha = clip((Phi(s*prev) - Phi(s*next)) / Phi(s*prev), 0, 1)
+    with Phi the logistic CDF and s the LEARNED inverse std (the
+    `variance` parameter trained alongside the field)."""
 
     def __init__(self, geometry, material, background,
                  cfg: RendererConfig = RendererConfig(),
@@ -190,7 +197,8 @@ class NeusVolumeRenderer:
             "variance": jnp.asarray(self.variance_init, jnp.float32),
         }
 
-    def render_rays(self, params, origins, dirs, rng=None):
+    def render_rays(self, params, origins, dirs, rng=None,
+                    cos_anneal_ratio=1.0):
         c = self.cfg
         r = origins.shape[0]
         s_count = c.num_samples_per_ray
@@ -208,10 +216,25 @@ class NeusVolumeRenderer:
         geo = self.geometry.apply(params["geometry"], pts)
         sdf = geo["sdf"][..., 0]  # [R,S]
         inv_s = jnp.exp(10.0 * params["variance"])  # NeuS variance param
-        phi = jax.nn.sigmoid(sdf * -inv_s)  # P(inside) ~ logistic CDF
-        # section integral alpha on consecutive samples
-        phi_next = jnp.concatenate([phi[:, 1:], phi[:, -1:]], axis=-1)
-        alpha = jnp.clip((phi_next - phi) / (1.0 - phi + 1e-6), 0.0, 1.0)
+        dt = (t_far - t_near)[:, None] / s_count
+        # d(sdf)/dt along the ray = dot(grad sdf, dir) ("true cos"),
+        # estimated from consecutive samples; last section repeats
+        dsdf = jnp.diff(sdf, axis=-1)
+        true_cos = jnp.concatenate(
+            [dsdf, dsdf[:, -1:]], axis=-1
+        ) / (dt + 1e-8)
+        ratio = jnp.asarray(cos_anneal_ratio, jnp.float32)
+        iter_cos = -(
+            jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - ratio)
+            + jax.nn.relu(-true_cos) * ratio
+        )
+        est_prev = sdf - iter_cos * dt * 0.5
+        est_next = sdf + iter_cos * dt * 0.5
+        prev_cdf = jax.nn.sigmoid(est_prev * inv_s)
+        next_cdf = jax.nn.sigmoid(est_next * inv_s)
+        alpha = jnp.clip(
+            (prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5), 0.0, 1.0
+        )
         trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
         trans = jnp.concatenate(
             [jnp.ones_like(trans[:, :1]), trans[:, :-1]], axis=-1

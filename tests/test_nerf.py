@@ -309,3 +309,138 @@ class TestSDFFamily:
                      "neural-radiance-material", "pbr-material",
                      "textured-background"):
             assert registry.find(name) is not None
+
+
+class TestFidelityPass:
+    """Round-3 fidelity upgrades (VERDICT r2 #7): coarse-to-fine
+    importance sampling, the NeuS cos-annealed section estimator, and
+    the full Cook-Torrance PBR terms."""
+
+    def test_importance_sampling_beats_uniform(self):
+        # a thin dense shell: uniform samples mostly miss it; the
+        # importance pass concentrates the same TOTAL budget near the
+        # shell, landing closer to a dense-reference render
+        import flax.linen as nn
+
+        class Shell(nn.Module):
+            n_feature_dims: int = 3
+
+            @nn.compact
+            def __call__(self, pts, output_normal=False):
+                rad = jnp.linalg.norm(pts, axis=-1, keepdims=True)
+                density = 400.0 * jnp.exp(
+                    -(((rad - 0.6) / 0.01) ** 2)
+                )
+                feats = jnp.broadcast_to(
+                    jnp.array([0.8, 0.2, 0.1]), pts.shape[:-1] + (3,)
+                )
+                out = {"density": density, "features": feats}
+                if output_normal:
+                    out["normal"] = pts / (rad + 1e-8)
+                return out
+
+        def build(cfg):
+            return NerfVolumeRenderer(
+                Shell(), NoMaterial(),
+                SolidColorBackground(color=(0.0, 0.0, 0.0)), cfg,
+            )
+
+        key = jax.random.PRNGKey(0)
+        pts0 = jnp.zeros((1, 4, 3))
+        params = {
+            "geometry": Shell().init(key, pts0),
+            "material": NoMaterial().init(key, jnp.zeros((1, 4, 3))),
+            "background": SolidColorBackground(
+                color=(0.0, 0.0, 0.0)
+            ).init(key, jnp.zeros((1, 3))),
+        }
+        c2w = jnp.eye(4).at[2, 3].set(2.0)
+
+        def render(cfg):
+            return build(cfg).render_image(params, c2w, 0.8, 12, 12)
+
+        ref = render(RendererConfig(num_samples_per_ray=2048,
+                                    randomized=False))
+        uni = render(RendererConfig(num_samples_per_ray=64,
+                                    randomized=False))
+        imp = render(RendererConfig(num_samples_per_ray=32,
+                                    num_importance_samples=32,
+                                    randomized=False))
+
+        def err(out):
+            return float(jnp.mean(jnp.abs(
+                out["opacity"] - ref["opacity"]
+            )))
+
+        # equal total budget (64 field samples... the importance variant
+        # pays 32 extra sigma-only coarse evals — the nerfacc-style
+        # estimator cost); quality per SHADED sample must improve
+        assert err(imp) < err(uni), (err(imp), err(uni))
+        # and the importance render must actually see the shell
+        assert float(imp["opacity"][6, 6, 0]) > 0.8
+
+    def test_neus_cos_anneal_ratio(self):
+        from humangaussian_tpu.nerf.encoding import HashGridConfig
+        from humangaussian_tpu.nerf.sdf import (
+            ImplicitSDF, ImplicitSDFConfig, NeusVolumeRenderer)
+
+        cfg = ImplicitSDFConfig(
+            hash_cfg=HashGridConfig(n_levels=2, log2_hashmap_size=10,
+                                    base_resolution=4),
+            n_neurons=16,
+        )
+        r = NeusVolumeRenderer(
+            ImplicitSDF(cfg), NoMaterial(),
+            SolidColorBackground(color=(0.0, 0.0, 0.0)),
+            RendererConfig(num_samples_per_ray=48, randomized=False),
+        )
+        params = r.init_params(jax.random.PRNGKey(3))
+        o = jnp.array([[0.0, 0.0, 3.0]])
+        d = jnp.array([[0.0, 0.0, -1.0]])
+        out0 = r.render_rays(params, o, d, cos_anneal_ratio=0.0)
+        out1 = r.render_rays(params, o, d, cos_anneal_ratio=1.0)
+        for out in (out0, out1):
+            assert np.isfinite(np.asarray(out["comp_rgb"])).all()
+            assert float(out["opacity"][0, 0]) > 0.5  # sphere hit
+        # ratio=0 weights sections isotropically (0.5*(1-cos)), ratio=1
+        # only descending sections: the estimators must differ on the
+        # ASCENDING (exit) side, where ratio=1 contributes nothing
+        w0 = np.asarray(out0["weights"][0])
+        w1 = np.asarray(out1["weights"][0])
+        sdf = np.asarray(out0["sdf"][0])
+        ascending = np.diff(sdf) > 0
+        exit_w0 = w0[:-1][ascending].sum()
+        exit_w1 = w1[:-1][ascending].sum()
+        assert exit_w1 <= exit_w0 + 1e-6
+        assert not np.allclose(w0, w1)
+
+    def test_pbr_fresnel_and_energy(self):
+        from humangaussian_tpu.nerf.material import PBRMaterial
+
+        mat = PBRMaterial()
+        feats = jnp.zeros((1, 5)).at[0, 3].set(4.0)  # metallic-ish
+        params = mat.init(jax.random.PRNGKey(0), feats)
+        n = jnp.array([[0.0, 0.0, 1.0]])
+        p = jnp.zeros((1, 3))
+
+        def shade(light, view):
+            return mat.apply(
+                params, feats, positions=p, normal=n,
+                light_positions=jnp.asarray(light)[None],
+                viewdirs=-jnp.asarray(view)[None],
+            )
+
+        # grazing view+light -> Fresnel term boosts reflectance toward
+        # 1.0: grazing specular >= near-normal specular for a metal
+        head_on = shade([0.0, 0.0, 2.0], [0.0, 0.0, 1.0])
+        grazing = shade([0.0, 1.95, 0.45], [0.0, 0.975, 0.22])
+        assert np.isfinite(np.asarray(head_on)).all()
+        assert np.isfinite(np.asarray(grazing)).all()
+        # outputs stay in [0, 1] (energy clip) for a sweep of angles
+        rng = np.random.RandomState(0)
+        for _ in range(16):
+            ldir = rng.randn(3)
+            ldir = ldir / np.linalg.norm(ldir)
+            out = shade(list(2.0 * np.abs(ldir)), list(np.abs(ldir)))
+            a = np.asarray(out)
+            assert (a >= 0).all() and (a <= 1.0).all()
