@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from humangaussian_tpu.animation import (
     AvatarAnimator,
@@ -133,3 +134,102 @@ class TestAnimator:
         assert img.shape == (64, 64, 3)
         assert np.isfinite(img).all()
         assert img.min() < 0.999  # the avatar occludes some background
+
+
+class TestPoseEditingViewer:
+    """The dearpygui-parity pose editor (VERDICT r2 #8): POST /pose
+    mutates the SMPL-X joint state and the next /render re-poses the
+    bound avatar through the LBS binding (ref animation.py:487-931
+    pose sliders)."""
+
+    def _server(self):
+        import urllib.request
+
+        from humangaussian_tpu.apps.viewer import ViewerServer
+
+        model = MODEL
+        verts, _ = lbs_forward(model, SMPLXPose.rest())
+        v = np.asarray(verts)
+        # gaussians on the body surface, scaled like a trained avatar
+        # (the animator's own normalization convention)
+        center = (v.max(0) + v.min(0)) / 2
+        scale = 0.6 / np.max(v.max(0) - v.min(0)) * (1.1**10)
+        pts = jnp.asarray((v - center) * scale)
+        n = pts.shape[0]
+        cap = int(np.ceil(n / 256) * 256)
+        scene = scene_from_points(
+            pts, jnp.full((n, 3), 0.6), cap, init_opacity=0.9
+        )
+        animator = AvatarAnimator(scene, model)
+        server = ViewerServer(scene, port=0, size=64,
+                              animator=animator).start()
+        return server, urllib.request
+
+    def test_pose_post_changes_render(self):
+        import json as _json
+
+        server, urllib_request = self._server()
+        try:
+            base = f"http://127.0.0.1:{server.port}"
+            # pose state advertises the editor
+            st = _json.loads(
+                urllib_request.urlopen(f"{base}/pose", timeout=60).read()
+            )
+            assert st["posable"] and len(st["joints"]) == 21
+            rest_png = urllib_request.urlopen(
+                f"{base}/render?azimuth=0", timeout=120
+            ).read()
+            # per-joint slider state round-trips (the toy model's MESH
+            # only articulates under global orient — its body-joint LBS
+            # weights move off-mesh marker verts — so the visual check
+            # below drives global_orient)
+            req = urllib_request.Request(
+                f"{base}/pose",
+                data=_json.dumps(
+                    {"joint": 3, "values": [1.4, 0.0, 0.0],
+                     "global_orient": [0.0, 0.0, 0.9]}
+                ).encode(),
+                method="POST",
+            )
+            st2 = _json.loads(
+                urllib_request.urlopen(req, timeout=60).read()
+            )
+            assert st2["body_pose"][3][0] == pytest.approx(1.4)
+            assert st2["global_orient"][2] == pytest.approx(0.9)
+            posed_png = urllib_request.urlopen(
+                f"{base}/render?azimuth=0", timeout=120
+            ).read()
+            assert posed_png != rest_png, "pose edit did not change render"
+            # reset restores the rest render
+            req = urllib_request.Request(
+                f"{base}/pose", data=b'{"reset": true}', method="POST"
+            )
+            urllib_request.urlopen(req, timeout=60).read()
+            reset_png = urllib_request.urlopen(
+                f"{base}/render?azimuth=0", timeout=120
+            ).read()
+            assert reset_png == rest_png
+        finally:
+            server.stop()
+
+    def test_pose_post_without_animator_is_400(self):
+        import urllib.error
+        import urllib.request
+
+        from humangaussian_tpu.apps.viewer import ViewerServer
+
+        scene = scene_from_points(
+            jnp.zeros((8, 3)), jnp.full((8, 3), 0.5), 256
+        )
+        server = ViewerServer(scene, port=0, size=64).start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{server.port}/pose",
+                data=b'{"joint": 0, "values": [1, 0, 0]}',
+                method="POST",
+            )
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req, timeout=60)
+            assert e.value.code == 400
+        finally:
+            server.stop()
