@@ -94,6 +94,11 @@ class PairLists(NamedTuple):
     """Sorted pair structure (all static shapes)."""
 
     order: jnp.ndarray  # [N] Gaussian index by depth rank
+    sorted_gid: jnp.ndarray  # [P] ORIGINAL Gaussian index of each sorted
+    #     pair (carried as a sort payload — payload operands are nearly
+    #     free, benchmarks/probe_segsum.py r3 — so consumers gather
+    #     feature rows by gid directly instead of paying a depth-order
+    #     row gather first)
     sorted_rank: jnp.ndarray  # [P] depth rank of each sorted pair
     sorted_key: jnp.ndarray  # [P] packed keys (tile << bits | rank), j bits
     #     stripped — the (tile, rank) key format consumers parse
@@ -210,6 +215,7 @@ def build_pair_lists(
     tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles)  # sentinel last
 
     rank = jnp.arange(n_cap, dtype=jnp.int32)[None, None, :]
+    gid = jnp.broadcast_to(order_c[None, None, :], tile_id.shape)
     if packed_j:
         # j (candidate slot in the rect) rides the low bits, so the
         # backward's candidate index perm = rank * r + j is elementwise
@@ -219,7 +225,9 @@ def build_pair_lists(
             | (rank.astype(jnp.uint32) << j_bits)
             | j_idx
         )
-        sorted_u = jax.lax.sort(keys.reshape(n_cap * r))
+        sorted_u, sorted_gid = jax.lax.sort(
+            (keys.reshape(n_cap * r), gid.reshape(n_cap * r)), num_keys=1
+        )
         rank_s = (sorted_u >> j_bits) & jnp.uint32((1 << rank_bits) - 1)
         j_s = sorted_u & jnp.uint32((1 << j_bits) - 1)
         perm = (rank_s * jnp.uint32(r) + j_s).astype(jnp.int32)
@@ -231,8 +239,9 @@ def build_pair_lists(
         # payload = candidate index rank*r + j (the contract consumers
         # parse), NOT the emission position (which is j-major here)
         cand_idx = rank * r + (dy * side + dx)
-        sorted_key, perm = jax.lax.sort(
-            (keys.reshape(n_cap * r), cand_idx.reshape(n_cap * r)),
+        sorted_key, perm, sorted_gid = jax.lax.sort(
+            (keys.reshape(n_cap * r), cand_idx.reshape(n_cap * r),
+             gid.reshape(n_cap * r)),
             num_keys=1,
         )
         tiles_sorted = sorted_key >> rank_bits
@@ -251,6 +260,7 @@ def build_pair_lists(
     overflow = jnp.sum(seg_len - counts) + cap_dropped
     return PairLists(
         order=order,
+        sorted_gid=sorted_gid,
         sorted_rank=sorted_rank,
         sorted_key=sorted_key,
         perm=perm,

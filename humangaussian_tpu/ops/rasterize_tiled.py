@@ -46,19 +46,26 @@ backward share code and memory layout.
 Backward data path (no TPU scatter anywhere): each chunk's [16, 128]
 pair-gradient block is DMA'd to a per-tile PAGE slot of a
 [16*C_cap, 128] buffer (page_start[t] = starts[t]//128 + t allocates
-disjoint page ranges by construction), the page buffer is transposed
-once in XLA to pair-major rows, and each Gaussian gathers its <= R
-candidate rows back. The candidate -> page-row index (pos2) is computed
-entirely ELEMENTWISE over the sorted order (segment begins via cummax,
-segment ends via a reverse cummin) and carried back to candidate order
-keyed by the binning sort's saved permutation. When the bit budget
-allows (candidate bits + page bits <= 32, the common single-scene
-case), the carry-back runs as TWO packed single-operand u32 sorts per
-camera (the row index's 7-bit lane half and its page half each ride
-below the candidate key) — ~2.5x cheaper than a payload sort, since a
-payload operand roughly triples XLA's TPU sort cost at ~1M keys; larger
-configs fall back to ONE 2-operand (key, pos2) sort. Either way the
-sorts are paid only when gradients flow.
+disjoint page ranges by construction), then the rows are routed to
+j-major CANDIDATE order by one of two statically-chosen paths
+(measured crossover ~1.3M candidates, RasterizeConfig.bwd_routing):
+
+- GATHER (small scenes): the candidate -> page-row index (pos2) is
+  computed entirely ELEMENTWISE over the sorted order (segment begins
+  via cummax) and carried back to candidate order by ONE 2-operand
+  sort per camera, then a [P,16] row gather (~4.5 ns/index at <1M).
+- SORT (post-densification scale): XLA's gather degrades to ~23
+  ns/index once the page source falls out of cache, while payload
+  operands on sorts are nearly free (an 11-op sort is ~1.2x a 1-op
+  sort — measured round 3, benchmarks/probe_segsum.py). The kernel
+  writes each pair's candidate key (+1; 0 = never written, keeping the
+  buffer psum-mergeable across tile shards) into feature row _FCAND,
+  including key-only blocks for budget-dropped and post-saturation
+  pairs, and ONE multi-payload sort of [page rows + dummy keys for
+  uncovered candidates] lands the 10 gradient columns at exactly their
+  candidate positions.
+
+Either way the routing is paid only when gradients flow.
 
 Gradient semantics match jax.grad of the oracle (autodiff): the alpha
 clamp at 0.99 and the power<=0 gate zero their branches' gradients. (The
@@ -762,7 +769,7 @@ class _CoreStatics(NamedTuple):
     sort_routing: bool  # backward carry: multi-payload sort vs gather
 
 
-def _build_pair_t(fmat_t, order, sorted_key, perm, cs: _CoreStatics):
+def _build_pair_t(fmat_t, gid, sorted_key, perm, cs: _CoreStatics):
     """[16, N] feature-major features -> [16, lanes] compacted pair
     array for ONE camera.
 
@@ -776,11 +783,12 @@ def _build_pair_t(fmat_t, order, sorted_key, perm, cs: _CoreStatics):
     peak padded footprint is one camera's [p_cap,16] (~1 GB at full
     519k capacity), never the [B*P,16] resident (9 GB) that stalled
     full-scale training."""
-    rank = (sorted_key[: cs.p_cap] & ((1 << cs.rank_bits) - 1)).astype(
-        jnp.int32
-    )
-    fmat_sorted = fmat_t.T[order[: cs.n_cap]]  # [n_cap, 16] transient
-    pf = fmat_sorted[rank]  # [p_cap, 16] transient
+    # gather feature rows DIRECTLY by the sorted pairs' gaussian ids
+    # (the binning sort carries them as a near-free payload) — this used
+    # to be two gathers (depth-order [n_cap,16] rows, then [p_cap] by
+    # rank), and the first one is also replayed by XLA's rematerializer
+    # at training scale
+    pf = fmat_t.T[gid[: cs.p_cap]]  # [p_cap, 16] transient
     pt = jnp.pad(pf.T, ((0, 0), (0, cs.lanes - cs.p_cap)))
     # row _FCAND: each sorted pair's j-major candidate index as f32
     # (elementwise from the binning sort payload) — the backward kernel
@@ -793,12 +801,12 @@ def _build_pair_t(fmat_t, order, sorted_key, perm, cs: _CoreStatics):
     return pt.at[_FCAND, :].set(cand)
 
 
-def _assemble_pairs(fmat_t, order, sorted_key, perm, starts_c, counts, cs):
+def _assemble_pairs(fmat_t, gid, sorted_key, perm, starts_c, counts, cs):
     """Per-camera (unrolled) pair build + camera-flat lane addressing,
     shared by the primal and the VJP forward."""
     b = fmat_t.shape[0]
     pair_t = jnp.stack([
-        _build_pair_t(fmat_t[i], order[i], sorted_key[i], perm[i], cs)
+        _build_pair_t(fmat_t[i], gid[i], sorted_key[i], perm[i], cs)
         for i in range(b)
     ])  # [B, 16, lanes]
     pair_flat = jnp.transpose(pair_t, (1, 0, 2)).reshape(_NF, b * cs.lanes)
@@ -807,16 +815,16 @@ def _assemble_pairs(fmat_t, order, sorted_key, perm, starts_c, counts, cs):
     return pair_flat, counts.reshape(-1), starts_flat
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
-def _render_core(fmat_t, order, sorted_key, perm, starts_c, counts, lens,
-                 tileid, cs: _CoreStatics, tile_shard):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def _render_core(fmat_t, order, gid, sorted_key, perm, starts_c, counts,
+                 lens, tileid, cs: _CoreStatics, tile_shard):
     """Batched: fmat_t [B,16,N] (FEATURE-MAJOR — row-major [N,16] would
     be lane-padded 16->128 by XLA, 8x HBM), order [B,N], sorted_key
     [B,P], perm [B,P] (binning sort payload), starts_c [B,T] (lane
     offsets, clamped), counts/lens [B,T], tileid [B*T]
     -> acc [B*T, 8, PIX]."""
     pair_flat, counts_flat, starts_flat = _assemble_pairs(
-        fmat_t, order, sorted_key, perm, starts_c, counts, cs
+        fmat_t, gid, sorted_key, perm, starts_c, counts, cs
     )
     return _shard_call(
         lambda pf, c, st, ti: _fwd_call(pf, c, st, ti, cs.s),
@@ -825,10 +833,10 @@ def _render_core(fmat_t, order, sorted_key, perm, starts_c, counts, lens,
     )
 
 
-def _render_core_fwd(fmat_t, order, sorted_key, perm, starts_c, counts,
-                     lens, tileid, cs, tile_shard):
+def _render_core_fwd(fmat_t, order, gid, sorted_key, perm, starts_c,
+                     counts, lens, tileid, cs, tile_shard):
     pair_flat, counts_flat, starts_flat = _assemble_pairs(
-        fmat_t, order, sorted_key, perm, starts_c, counts, cs
+        fmat_t, gid, sorted_key, perm, starts_c, counts, cs
     )
     out = _shard_call(
         lambda pf, c, st, ti: _fwd_call(pf, c, st, ti, cs.s),
@@ -959,7 +967,7 @@ def _render_core_bwd(cs: _CoreStatics, tile_shard, res, g_out):
                 dsorted = jnp.pad(dsorted, ((0, n - cs.n_cap), (0, 0)))
             dfmat_cams.append(dsorted[inv_local[i]].T)  # [16, N]
     dfmat_t = jnp.stack(dfmat_cams)  # [B, 16, N]
-    return dfmat_t, None, None, None, None, None, None, None
+    return dfmat_t, None, None, None, None, None, None, None, None
 
 
 _render_core.defvjp(_render_core_fwd, _render_core_bwd)
@@ -1073,8 +1081,8 @@ def _bin_one(means, scales, quats, features, opacities, alive, camera,
     )
     fmat = _feature_matrix(prims)
     starts_c = jnp.minimum(pairs.starts[:-1], cs.p_cap)
-    return (prims, fmat, pairs.order, pairs.sorted_key, pairs.perm,
-            starts_c, pairs.counts, pairs.lens, pairs.overflow)
+    return (prims, fmat, pairs.order, pairs.sorted_gid, pairs.sorted_key,
+            pairs.perm, starts_c, pairs.counts, pairs.lens, pairs.overflow)
 
 
 def _finish(acc_b, prims_b, overflow, background, cs, h, w, batched):
@@ -1116,17 +1124,18 @@ def _rasterize_impl(means, scales, quats, features, opacities, alive,
             bin_cam(jax.tree.map(lambda x: x[i], cameras))
             for i in range(b_cams)
         ]
-        (prims_b, fmat_b, order_b, skey_b, ckey_b, starts_b, counts_b,
-         lens_b, ovf_b) = jax.tree.map(lambda *xs: jnp.stack(xs), *per_cam)
+        (prims_b, fmat_b, order_b, gid_b, skey_b, ckey_b, starts_b,
+         counts_b, lens_b, ovf_b) = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *per_cam)
     else:
         outs = bin_cam(cameras)
-        (prims_b, fmat_b, order_b, skey_b, ckey_b, starts_b, counts_b,
-         lens_b, ovf_b) = jax.tree.map(lambda x: x[None], outs)
+        (prims_b, fmat_b, order_b, gid_b, skey_b, ckey_b, starts_b,
+         counts_b, lens_b, ovf_b) = jax.tree.map(lambda x: x[None], outs)
 
     b = fmat_b.shape[0]
     tileid = jnp.tile(jnp.arange(cs.num_tiles, dtype=jnp.int32), b)
     acc = _render_core(
-        fmat_b, order_b, skey_b, ckey_b, starts_b, counts_b, lens_b,
+        fmat_b, order_b, gid_b, skey_b, ckey_b, starts_b, counts_b, lens_b,
         tileid, cs, tile_shard,
     )
     acc_b = acc.reshape(b, cs.num_tiles, 8, cs.s.pix)
