@@ -90,6 +90,76 @@ def _tile_alpha_bound(mx, my, ca, cb, cc, tx, ty, tile):
     return jnp.maximum(jnp.where(inside, 0.0, qedge), 0.0)
 
 
+class KeyPacking(NamedTuple):
+    """Static description of the packed candidate-key layout."""
+
+    rank_bits: int
+    j_bits: int  # 0 when keys cannot pack j (fallback: carry cand payload)
+    packed_j: bool
+
+
+def key_packing(n_cap: int, num_tiles: int, r: int) -> KeyPacking:
+    """Resolve the (tile | rank | j) bit layout for packed candidate keys."""
+    rank_bits = max((n_cap - 1).bit_length(), 1)
+    j_bits = max((r - 1).bit_length(), 1)
+    packed_j = (num_tiles + 1) << (rank_bits + j_bits) <= (1 << 32)
+    if not packed_j and (num_tiles + 1) << rank_bits >= 1 << 31:
+        raise ValueError(
+            f"packed pair keys overflow int32: {num_tiles} tiles x "
+            f"2^{rank_bits} ranks; reduce capacity or tile count"
+        )
+    return KeyPacking(rank_bits=rank_bits, j_bits=j_bits, packed_j=packed_j)
+
+
+def candidate_keys(
+    mx, my, ca, cb, cc, opa, rx0, ry0, rx1, ry1, vis,
+    tiles_x: int, tiles_y: int, cfg: RasterizeConfig, pk: KeyPacking,
+):
+    """Expand DEPTH-ORDERED per-Gaussian columns into packed candidate
+    keys [r * n_cap] (j-minor slot layout [s, s, n_cap] flattened).
+
+    All inputs are [n_cap] columns already sorted by depth rank (the
+    caller carries them as payloads of the depth sort, so no gathers
+    happen here). Invalid candidates (outside the rect, culled by the
+    exact tile-ellipse bound, or invisible) get the sentinel tile that
+    sorts last. Returns (keys_u32 [dom], cand_idx [dom] int32 or None):
+    cand_idx is only materialized in the non-packed fallback; the packed
+    layout recovers it elementwise from the sorted keys."""
+    n_cap = mx.shape[0]
+    num_tiles = tiles_x * tiles_y
+    side = cfg.rect_side
+    dy = jnp.arange(side, dtype=jnp.int32)[:, None, None]  # [s,1,1]
+    dx = jnp.arange(side, dtype=jnp.int32)[None, :, None]  # [1,s,1]
+    ty = ry0[None, None, :] + dy  # [s,s,n]
+    tx = rx0[None, None, :] + dx
+    in_rect = (ty < ry1[None, None, :]) & (tx < rx1[None, None, :])
+    valid = in_rect & vis[None, None, :]
+    if cfg.tight_cull:
+        qmin = _tile_alpha_bound(
+            mx[None, None, :], my[None, None, :], ca[None, None, :],
+            cb[None, None, :], cc[None, None, :], tx.astype(jnp.float32),
+            ty.astype(jnp.float32), cfg.tile,
+        )
+        bound = opa[None, None, :] * jnp.exp(-0.5 * qmin)
+        valid = valid & (bound >= cfg.alpha_min * (1.0 - 1e-3))
+    tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles)
+    rank = jnp.arange(n_cap, dtype=jnp.int32)[None, None, :]
+    if pk.packed_j:
+        j_idx = (dy * side + dx).astype(jnp.uint32)
+        keys = (
+            (tile_id.astype(jnp.uint32) << (pk.rank_bits + pk.j_bits))
+            | (rank.astype(jnp.uint32) << pk.j_bits)
+            | j_idx
+        )
+        return keys.reshape(n_cap * side * side), None
+    keys = (tile_id << pk.rank_bits) | rank
+    # J-MAJOR candidate index (slot-major: j * n_cap + rank) — the layout
+    # the rasterizer VJP's per-Gaussian reduce consumes directly
+    cand_idx = (dy * side + dx) * n_cap + rank
+    return keys.reshape(n_cap * side * side), cand_idx.reshape(
+        n_cap * side * side)
+
+
 class PairLists(NamedTuple):
     """Sorted pair structure (all static shapes)."""
 

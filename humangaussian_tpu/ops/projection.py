@@ -66,6 +66,15 @@ class RasterizeConfig:
     bwd_routing: str = "auto"  # "auto" | "sort" | "gather" (see
     #   rasterize_tiled._render_core_bwd: measured crossover ~1.3M
     #   candidates — gather wins small, sort wins post-densification)
+    panel_math: str = "exact"  # "exact": per-pixel VPU conic quadratic;
+    #   "mxu": tile-centered pixel-monomial matmul evaluates the power
+    #   panel on the MXU (same reassociation class as the round-3
+    #   monomial backward; measured error in NUMERICS.md)
+    cumsum_bf16: bool = False  # fast mode: the per-chunk transmittance
+    #   cumsum matmul takes bf16 inputs (f32 accumulation) — 4x MXU.
+    #   log1p(-alpha) inputs round to 8-bit mantissa (~4e-4 abs logT
+    #   error bound, measured in NUMERICS.md); the gradient-carrying
+    #   prefix cumsum in the backward always stays f32.
 
     @property
     def rect_side(self) -> int:

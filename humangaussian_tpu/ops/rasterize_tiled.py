@@ -107,6 +107,8 @@ class CompositeStatics(NamedTuple):
     alpha_max: float
     log_eps: float  # log of transmittance early-stop threshold
     interpret: bool
+    panel_math: str = "exact"  # "exact" | "mxu" (see RasterizeConfig)
+    cumsum_bf16: bool = False  # bf16-input transmittance cumsum (fast)
 
 
 def _pixel_coords(t, s: CompositeStatics):
@@ -121,31 +123,82 @@ def _pixel_coords(t, s: CompositeStatics):
     return px, py
 
 
-def _lane_cumsum(x, g: int):
+def _tile_geom(t, s: CompositeStatics):
+    """Per-program pixel geometry: pixel centers, the tile center, and
+    (under panel_math="mxu" or in the backward) the tile-centered pixel
+    monomial matrix [PIX, 6] = [1, px', py', px'^2, py'^2, px'py']."""
+    px, py = _pixel_coords(t, s)
+    cx = (t % s.tiles_x) * s.tile + (s.tile - 1) * 0.5
+    cy = (t // s.tiles_x) * s.tile + (s.tile - 1) * 0.5
+    pxl = px - cx
+    pyl = py - cy
+    mono = jnp.concatenate(
+        [jnp.ones((s.pix, 1), jnp.float32), pxl, pyl,
+         pxl * pxl, pyl * pyl, pxl * pyl],
+        axis=1,
+    )  # [PIX, 6]
+    return dict(px=px, py=py, cx=cx, cy=cy, mono=mono)
+
+
+def _lane_cumsum(x, g: int, bf16: bool = False):
     """Inclusive cumsum along the lane axis of [PIX, G] via an upper-
     triangular ones matmul — Mosaic has no cumsum primitive, and one
-    [PIX,G]x[G,G] MXU pass beats a log-step shift chain anyway."""
+    [PIX,G]x[G,G] MXU pass beats a log-step shift chain anyway.
+
+    With `bf16` the inputs are rounded to bf16 (f32 accumulation): 4x
+    MXU throughput, input-rounding error only (the tri matrix is 0/1,
+    exact in bf16)."""
     row = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
-    tri = (row <= col).astype(jnp.float32)
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    tri = (row <= col).astype(dt)
     return jax.lax.dot_general(
-        x, tri, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        x.astype(dt), tri, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
 
-def _chunk_common(f, px, py, kc, count, s: CompositeStatics):
+def _chunk_common(f, geom, kc, count, s: CompositeStatics):
     """Shared per-chunk quantities for forward and backward replay.
 
-    `f` is a [NF, G] chunk of pair features; panels are [PIX, G]."""
+    `f` is a [NF, G] chunk of pair features; panels are [PIX, G].
+
+    panel_math="exact": the conic quadratic is evaluated per pair-pixel
+    on the VPU (bit-matches the oracle's direct form).
+    panel_math="mxu": power[PIX,G] = mono[PIX,6] @ coef[6,G] — the
+    quadratic expanded in tile-centered pixel monomials with per-pair
+    coefficients, one MXU pass replacing ~11 VPU panel ops. Same
+    reassociation class as the round-3 monomial backward; centering
+    keeps |px'| < tile/2 so the expansion loses little precision
+    (measured in NUMERICS.md)."""
     x = f[_FX : _FX + 1, :]
     y = f[_FY : _FY + 1, :]
     ca = f[_FCA : _FCA + 1, :]
     cb = f[_FCB : _FCB + 1, :]
     cc = f[_FCC : _FCC + 1, :]
     opa = f[_FOPA : _FOPA + 1, :]
-    dxv = x - px  # [PIX, G]
-    dyv = y - py
-    power = -0.5 * (ca * dxv * dxv + cc * dyv * dyv) - cb * dxv * dyv
+    if s.panel_math == "mxu":
+        xl = x - geom["cx"]  # [1, G]
+        yl = y - geom["cy"]
+        coef = jnp.concatenate(
+            [
+                -0.5 * ca * xl * xl - cb * xl * yl - 0.5 * cc * yl * yl,
+                ca * xl + cb * yl,
+                cc * yl + cb * xl,
+                -0.5 * ca,
+                -0.5 * cc,
+                -cb,
+            ],
+            axis=0,
+        )  # [6, G]
+        power = jax.lax.dot_general(
+            geom["mono"], coef, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [PIX, G]
+    else:
+        dxv = x - geom["px"]  # [PIX, G]
+        dyv = y - geom["py"]
+        power = -0.5 * (ca * dxv * dxv + cc * dyv * dyv) - cb * dxv * dyv
     expp = jnp.exp(jnp.minimum(power, 0.0))
     alpha_raw = opa * expp
     alpha = jnp.minimum(alpha_raw, s.alpha_max)
@@ -154,8 +207,6 @@ def _chunk_common(f, px, py, kc, count, s: CompositeStatics):
     pass_ = valid & (power <= 0.0) & (alpha >= s.alpha_min)
     log1ma = jnp.where(pass_, jnp.log1p(-jnp.where(pass_, alpha, 0.0)), 0.0)
     return dict(
-        dxv=dxv,
-        dyv=dyv,
         ca=ca,
         cb=cb,
         cc=cc,
@@ -182,18 +233,22 @@ def _recurrence(c, log_t_u, log_t_f, s: CompositeStatics):
         is monotone), which IS the CUDA kernel's done-latch semantics.
       log_t_f — FROZEN log T: accumulates only contributing pairs; this
         is the T the CUDA kernel reports at saturation (the output alpha
-        and background blend use it)."""
-    cum = _lane_cumsum(c["log1ma"], s.chunk)
+        and background blend use it).
+
+    Returns t_i = exp(u_before) alongside w: the backward reuses it for
+    the dalpha term instead of paying a second [PIX,G] exp."""
+    cum = _lane_cumsum(c["log1ma"], s.chunk, s.cumsum_bf16)
     u_before = log_t_u + cum - c["log1ma"]
     contrib = c["pass_"] & (u_before + c["log1ma"] >= s.log_eps)
     # u_before == frozen log T for every contributing pair (they only
     # diverge after saturation, where w is masked to zero anyway)
-    w = jnp.where(contrib, jnp.exp(u_before) * c["alpha"], 0.0)
+    t_i = jnp.exp(u_before)
+    w = jnp.where(contrib, t_i * c["alpha"], 0.0)
     new_u = log_t_u + cum[:, s.chunk - 1 : s.chunk]
     new_f = log_t_f + jnp.sum(
         jnp.where(contrib, c["log1ma"], 0.0), axis=1, keepdims=True
     )
-    return w, contrib, u_before, new_u, new_f
+    return w, contrib, t_i, new_u, new_f
 
 
 def _feat_matrix(f, s: CompositeStatics):
@@ -251,7 +306,7 @@ def _fwd_kernel(
     off = jax.lax.rem(start, s.chunk)
     base = start - off
     nlive = pl.cdiv(count, s.chunk)
-    px, py = _pixel_coords(t, s)
+    geom = _tile_geom(t, s)
 
     logt_ref[:, :] = jnp.zeros((s.pix, 1), jnp.float32)
     logtu_ref[:, :] = jnp.zeros((s.pix, 1), jnp.float32)
@@ -277,8 +332,8 @@ def _fwd_kernel(
             ).start()
 
         f = _lane_shift(buf[slot], off, s)  # [NF, G]
-        c = _chunk_common(f, px, py, kc, count, s)
-        w, _contrib, _ub, new_u, new_f = _recurrence(
+        c = _chunk_common(f, geom, kc, count, s)
+        w, _contrib, _ti, new_u, new_f = _recurrence(
             c, logtu_ref[:, :], logt_ref[:, :], s
         )
         acc_ref[:, :] += jax.lax.dot_general(
@@ -353,7 +408,7 @@ def _bwd_kernel(
     # (nlive_w = cdiv(len, chunk) >= nlive); gather routing only needs
     # the live blocks
     nloop = pl.cdiv(seg_len, s.chunk) if sort_routing else nlive
-    px, py = _pixel_coords(t, s)
+    geom = _tile_geom(t, s)
     g8t = gvec_ref[0]  # [8, PIX]: rows 0-4 output cotangents, row 5 = S
     svec = g8t[5:6, :].reshape(s.pix, 1)
 
@@ -366,15 +421,9 @@ def _bwd_kernel(
     # (measured <= ~1.4e-5 of the max-grad scale vs the direct per-pixel
     # products — the same order as the CUDA backward's nondeterministic
     # atomicAdd accumulation).
-    cx = (t % s.tiles_x) * s.tile + (s.tile - 1) * 0.5
-    cy = (t // s.tiles_x) * s.tile + (s.tile - 1) * 0.5
-    pxl = px - cx
-    pyl = py - cy
-    mono = jnp.concatenate(
-        [jnp.ones((s.pix, 1), jnp.float32), pxl, pyl,
-         pxl * pxl, pyl * pyl, pxl * pyl],
-        axis=1,
-    )  # [PIX, 6]
+    cx = geom["cx"]
+    cy = geom["cy"]
+    mono = geom["mono"]
 
     done_ref[:, :] = jnp.zeros((s.pix, 1), jnp.float32)
     prefix_ref[:, :] = jnp.zeros((s.pix, 1), jnp.float32)
@@ -421,10 +470,10 @@ def _bwd_kernel(
 
         @pl.when(live)
         def _():
-            c = _chunk_common(f, px, py, kc, count, s)
+            c = _chunk_common(f, geom, kc, count, s)
             # the frozen log T is not needed in the backward (no image
             # output); pass u for both carries and ignore new_f
-            w, contrib, log_t_before, new_u, _new_f = _recurrence(
+            w, contrib, t_i, new_u, _new_f = _recurrence(
                 c, done_ref[:, :], done_ref[:, :], s
             )
             featm = _feat_matrix(f, s)  # [8, G]; rows 5-7 zero
@@ -433,8 +482,8 @@ def _bwd_kernel(
                 preferred_element_type=jnp.float32,
             )  # [PIX, G]
             wphi = w * phi
+            # gradient-carrying prefix: always f32 (see _lane_cumsum)
             p_incl = prefix_ref[:, :] + _lane_cumsum(wphi, s.chunk)
-            t_i = jnp.exp(log_t_before)
             inv_1ma = 1.0 / jnp.maximum(1.0 - c["alpha"], 1e-6)
             dalpha = jnp.where(
                 contrib, t_i * phi - (svec - p_incl) * inv_1ma, 0.0
@@ -442,9 +491,10 @@ def _bwd_kernel(
             dalpha_raw = jnp.where(
                 c["alpha_raw"] < s.alpha_max, dalpha, 0.0
             )
-            dopa_pix = dalpha_raw * c["expp"]
+            # dalpha_raw * alpha_raw == dalpha_raw * opa * expp up to one
+            # rounding; alpha_raw is already materialized
             dpow = jnp.where(
-                c["power"] < 0.0, dalpha_raw * c["opa"] * c["expp"], 0.0
+                c["power"] < 0.0, dalpha_raw * c["alpha_raw"], 0.0
             )
 
             dcg = jax.lax.dot_general(
@@ -471,6 +521,18 @@ def _bwd_kernel(
             yl = f[_FY : _FY + 1, :] - cy
             gx = xl * s0 - s1x  # sum_p dpow * dxv
             gy = yl * s0 - s1y  # sum_p dpow * dyv
+            if s.panel_math == "mxu":
+                # dopacity = sum_p dalpha_raw*expp = s0 / opa (dpow is
+                # dalpha_raw*opa*expp gated at power<0; under mxu panel
+                # math exact power==0 never survives rounding) — saves a
+                # [PIX,G] panel product + reduction
+                dopa_row = jnp.where(
+                    c["opa"] > 0.0, s0 / jnp.maximum(c["opa"], 1e-12), 0.0
+                )
+            else:
+                dopa_row = jnp.sum(
+                    dalpha_raw * c["expp"], axis=0, keepdims=True
+                )
             # masked lanes (beyond count / non-contributing) are exactly
             # zero here.
             wbuf[slot] = jnp.concatenate(
@@ -481,7 +543,7 @@ def _bwd_kernel(
                     -(xl * yl * s0 - xl * s1y - yl * s1x + sxy),  # dcon_b
                     -0.5 * (yl * yl * s0 - 2.0 * yl * s1y + s2y),  # dcon_c
                     dcg[0:3, :],  # drgb
-                    jnp.sum(dopa_pix, axis=0, keepdims=True),  # dopacity
+                    dopa_row,  # dopacity
                     dcg[3:4, :],  # ddepth
                     key_row,  # candidate keys for the sort routing
                     jnp.zeros((_NF - 11, s.chunk), jnp.float32),
@@ -1014,6 +1076,8 @@ def _make_statics(h, w, cfg: RasterizeConfig, interpret):
         raise ValueError(f"image {h}x{w} must be a multiple of tile {tile}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if cfg.panel_math not in ("exact", "mxu"):
+        raise ValueError(f"unknown panel_math {cfg.panel_math!r}")
     return CompositeStatics(
         tiles_x=w // tile,
         tiles_y=h // tile,
@@ -1024,6 +1088,8 @@ def _make_statics(h, w, cfg: RasterizeConfig, interpret):
         alpha_max=cfg.alpha_max,
         log_eps=math.log(cfg.transmittance_eps),
         interpret=bool(interpret),
+        panel_math=cfg.panel_math,
+        cumsum_bf16=cfg.cumsum_bf16,
     )
 
 
