@@ -63,6 +63,9 @@ class RasterizeConfig:
     alpha_max: float = 0.99  # alpha clamp
     transmittance_eps: float = 1e-4  # early-stop threshold on T
     tight_cull: bool = True  # exact tile-ellipse candidate cull (binning)
+    big_capacity: int | None = None  # static big-class (rect > 2x2)
+    #   capacity for the dual-class candidate domain (binning module
+    #   docstring); None = auto max(4096, n_cap // 8)
     bwd_routing: str = "auto"  # "auto" | "sort" | "gather" (see
     #   rasterize_tiled._render_core_bwd: measured crossover ~1.3M
     #   candidates — gather wins small, sort wins post-densification)

@@ -84,7 +84,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from humangaussian_tpu.core.camera import Camera
-from humangaussian_tpu.ops.binning import build_pair_lists
+from humangaussian_tpu.ops.binning import build_pair_lists, resolve_big_capacity
 from humangaussian_tpu.ops.projection import RasterizeConfig, project_gaussians
 
 # feature-row layout of the [16, P] pair array. 16 = 10 live features +
@@ -366,12 +366,14 @@ def _fwd_kernel(
             pairs_hbm, buf, sem, base, kfin, jax.lax.rem(kfin, 2), s
         ).wait()
 
-    # channel rows: 0-2 rgb, 3 depth, 4 sum(w), 5 log T_final, 6-7 zero
+    # channel rows: 0-2 rgb, 3 depth, 4 sum(w), 5 log T_final,
+    # 6 executed-chunk count (early-stop diagnostics), 7 zero
     out_ref[0] = jnp.concatenate(
         [
             acc_ref[0:5, :],
             logt_ref[:, :].reshape(1, s.pix),
-            jnp.zeros((2, s.pix), jnp.float32),
+            jnp.full((1, s.pix), kfin.astype(jnp.float32)),
+            jnp.zeros((1, s.pix), jnp.float32),
         ],
         axis=0,
     )
@@ -710,27 +712,20 @@ def _shard_call(fn, args, tile_shard, psum_out=False):
 # ---------------------------------------------------------------------------
 
 
-def _pos2_candidate_order(sorted_key, perm, r, p_cap, c_cap, k_cap,
-                          rank_bits, num_tiles):
-    """Batched: sorted_key/perm [B, P] -> pos2 [B*P] CAMERA-LOCAL
-    page-row indices (each value < c_cap*128, indexing that camera's own
-    page block; never-written rows land on the camera's local guard
-    page), in (camera, j-major candidate) order; `r` is the static
-    rect-slot count. Camera-local values let the backward gather one
-    camera's rows at a time, bounding the 8x lane-padded [*,16]
-    transients to a single camera.
+def _seg_positions(stile, p_cap, k_cap, num_tiles):
+    """Batched [B, P] sorted tile ids -> flattened segment geometry:
+    (begin_c, offset, cnt, seg_ok) each [B*P], all CAMERA-LOCAL and
+    budget-clamped exactly like binning's counts/lens.
 
-    Everything runs on FLATTENED [B*P] 1-D arrays: a vmapped sort gets
-    a [1,P]{T(1,128)} layout from XLA that runs ~5x slower than the
-    same sort expressed 1-D, and the segment cummax/cummin recurrences
-    flatten safely because every camera's first element is forced to be
-    a segment start."""
-    b, p = sorted_key.shape
+    Everything runs on FLATTENED [B*P] 1-D arrays (vmapped recurrences
+    get a hostile [1,P] layout from XLA); the segment cummax flattens
+    safely because every camera's first element is forced to be a
+    segment start."""
+    b, p = stile.shape
     tot = b * p
     flat_idx = jnp.arange(tot, dtype=jnp.int32)
     cam = flat_idx // p
-    sk = sorted_key.reshape(tot)
-    t_p = (sk >> rank_bits).astype(jnp.int32)
+    t_p = stile.reshape(tot)
     is_first = jnp.concatenate(
         [jnp.ones((1,), bool), t_p[1:] != t_p[:-1]]
     ) | ((flat_idx % p) == 0)
@@ -740,78 +735,55 @@ def _pos2_candidate_order(sorted_key, perm, r, p_cap, c_cap, k_cap,
     rev_min = jax.lax.cummin(starts_pos[::-1], axis=0)[::-1]
     seg_end = jnp.concatenate([rev_min[1:], jnp.full((1,), tot, jnp.int32)])
     seg_len = seg_end - seg_begin
-    begin_c = jnp.minimum(seg_begin - cam * p, p_cap)  # camera-local, capped
+    begin_c = jnp.minimum(seg_begin - cam * p, p_cap)  # camera-local
     cnt = jnp.minimum(jnp.minimum(seg_len, k_cap), p_cap - begin_c)
     offset = flat_idx - seg_begin
+    # budget clamp identical to binning's `lens`: offset < len means the
+    # backward kernel wrote (or zero-init covers) this position's page
+    # row
+    seg_ok = (offset < (p_cap - begin_c)) & (t_p < num_tiles)
+    return t_p, begin_c, offset, cnt, seg_ok
+
+
+def _pos2_candidate_order(stile, cand, p_cap, c_cap, k_cap, num_tiles):
+    """Batched: sorted tile ids / candidate indices [B, P] -> pos2 [B*P]
+    CAMERA-LOCAL page-row indices (each value < c_cap*128, indexing that
+    camera's own page block; never-written rows land on the camera's
+    local guard page), in (camera, j-major candidate) order.
+    Camera-local values let the backward gather one camera's rows at a
+    time, bounding the 8x lane-padded [*,16] transients to a single
+    camera."""
+    b, p = stile.shape
+    t_p, begin_c, offset, cnt, _seg_ok = _seg_positions(
+        stile, p_cap, k_cap, num_tiles)
     valid = (offset < cnt) & (t_p < num_tiles)
     zero_row = c_cap * 128 - 1  # camera-local guard page, never written
     page = (begin_c >> 7) + t_p  # camera-local first page of the tile
-
-    # carry pos2 back to candidate order — a permutation inversion keyed
-    # by the candidate index recovered from the binning sort's perm.
-    # The target order is J-MAJOR (slot-major: j * n + rank) rather than
-    # the natural rank-major candidate index: the per-Gaussian reduce
-    # then sums r contiguous [N, 16] blocks instead of a strided
-    # [N, r, 16] view, which costs a full-array relayout copy.
-    pm = perm.reshape(tot)
-    n = p // r
-    cand = (pm % r) * n + pm // r  # [0, P) per camera
-
-    # ONE 2-operand (key, pos2) sort per camera, unrolled 1-D. Round 2
-    # ran this as two packed single-operand u32 sorts because a payload
-    # operand then tripled XLA's TPU sort cost; re-measured in round 3
-    # (benchmarks/probe_segsum.py) a 2-op sort costs the SAME as 1-op
-    # (2.52 vs 2.33 ms at 900k), so the packed dual sort is now a
-    # pessimization — one payload sort halves the carry-back.
+    # ONE 2-operand (cand, pos2) sort per camera carries pos2 back to
+    # j-major candidate order (cand is a permutation of [0, dom) per
+    # camera — every candidate, valid or culled, appears exactly once)
     pos2_sorted = jnp.where(valid, page * 128 + offset, zero_row)
+    cflat = cand.reshape(b * p)
     parts = []
     for ci in range(b):  # unrolled: per-camera 1-D sorts
         _, pc = jax.lax.sort(
-            (cand[ci * p : (ci + 1) * p], pos2_sorted[ci * p : (ci + 1) * p]),
+            (cflat[ci * p : (ci + 1) * p],
+             pos2_sorted[ci * p : (ci + 1) * p]),
             num_keys=1,
         )
         parts.append(pc)
     return jnp.concatenate(parts) if b > 1 else parts[0]
 
 
-def _coverage_and_cand(sorted_key, perm, r, p_cap, rank_bits, num_tiles):
-    """Batched: sorted_key/perm [B, P] -> (covered [B*P] bool, cand
-    [B*P] f32). `covered[p]` is True iff the backward kernel wrote a
-    page row carrying position p's candidate key (p inside its tile's
-    budget-clamped segment); uncovered positions get DUMMY rows in the
-    routing sort so every candidate index appears exactly once. `cand`
-    is the J-MAJOR candidate index (slot-major: j * n + rank) — the
-    per-Gaussian reduce then sums r contiguous [N, 16] blocks instead of
-    a strided [N, r, 16] view, which costs a full-array relayout copy.
-
-    Everything runs on FLATTENED [B*P] 1-D arrays: the segment cummax
-    recurrence flattens safely because every camera's first element is
-    forced to be a segment start."""
-    b, pp = sorted_key.shape
-    tot = b * pp
-    flat_idx = jnp.arange(tot, dtype=jnp.int32)
-    cam = flat_idx // pp
-    sk = sorted_key.reshape(tot)
-    t_p = (sk >> rank_bits).astype(jnp.int32)
-    is_first = jnp.concatenate(
-        [jnp.ones((1,), bool), t_p[1:] != t_p[:-1]]
-    ) | ((flat_idx % pp) == 0)
-    seg_begin = jax.lax.cummax(jnp.where(is_first, flat_idx, -1), axis=0)
-    begin_c = jnp.minimum(seg_begin - cam * pp, p_cap)  # camera-local
-    offset = (flat_idx - cam * pp) - begin_c
-    # len = min(seg_len, p_cap - begin_c): identical clamp to
-    # binning.build_pair_lists' `lens`, so coverage here matches what
-    # the kernel wrote exactly. offset < len <=> local position below
-    # both the segment end and the pair budget.
-    seg_ok = offset < (p_cap - begin_c)
-    # segment end check: position belongs to segment [seg_begin, next
-    # first) by construction of the cummax; offset is always within the
-    # segment, so only the budget clamp and the sentinel tile matter.
-    covered = seg_ok & (t_p < num_tiles)
-    pm = perm.reshape(tot)
-    n = pp // r
-    cand = ((pm % r) * n + pm // r).astype(jnp.float32)
-    return covered, cand
+def _coverage(stile, p_cap, num_tiles):
+    """Batched: sorted tile ids [B, P] -> covered [B*P] bool: True iff
+    the backward kernel wrote a page row carrying that sorted position's
+    candidate key (position inside its tile's budget-clamped segment);
+    uncovered positions get DUMMY rows in the sort routing so every
+    candidate index appears exactly once."""
+    _t, _b, _o, _c, seg_ok = _seg_positions(stile, p_cap, 1 << 30,
+                                            num_tiles)
+    return seg_ok
 
 
 # ---------------------------------------------------------------------------
@@ -825,13 +797,32 @@ class _CoreStatics(NamedTuple):
     lanes: int  # padded lane count of one camera's pair array
     c_cap: int  # pages per camera in the backward buffer
     k_cap: int  # tile_capacity
-    rank_bits: int
     num_tiles: int
-    n_cap: int  # active depth-rank cap (candidate domain size // r)
+    n_cap: int  # active (class, depth)-rank cap
+    b_cap: int  # big-class capacity (binning.resolve_big_capacity)
+    side: int  # big-class rect side (cfg.rect_side)
+    s_side: int  # small-class rect side (min(side, 2))
+    dom: int  # candidate domain = side^2*b_cap + s_side^2*(n_cap-b_cap)
     sort_routing: bool  # backward carry: multi-payload sort vs gather
 
 
-def _build_pair_t(fmat_t, gid, sorted_key, perm, cs: _CoreStatics):
+def _reduce_candidates(dpr, cs: _CoreStatics):
+    """[dom, 16] candidate-order gradient rows -> [n_cap, 16] rows in
+    (class, depth) order: two static reshapes + a concat (the dual-class
+    j-major layout makes the per-Gaussian segment sum shape-static)."""
+    lsize = cs.side * cs.side * cs.b_cap
+    parts = []
+    if cs.b_cap > 0:
+        parts.append(jnp.sum(
+            dpr[:lsize].reshape(cs.side * cs.side, cs.b_cap, _NF), axis=0))
+    n_s = cs.n_cap - cs.b_cap
+    if n_s > 0:
+        parts.append(jnp.sum(
+            dpr[lsize:].reshape(cs.s_side * cs.s_side, n_s, _NF), axis=0))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
+def _build_pair_t(fmat_t, gid, cand, cs: _CoreStatics):
     """[16, N] feature-major features -> [16, lanes] compacted pair
     array for ONE camera.
 
@@ -844,31 +835,30 @@ def _build_pair_t(fmat_t, gid, sorted_key, perm, cs: _CoreStatics):
     per-camera (this function is called once per camera, unrolled):
     peak padded footprint is one camera's [p_cap,16] (~1 GB at full
     519k capacity), never the [B*P,16] resident (9 GB) that stalled
-    full-scale training."""
-    # gather feature rows DIRECTLY by the sorted pairs' gaussian ids
-    # (the binning sort carries them as a near-free payload) — this used
-    # to be two gathers (depth-order [n_cap,16] rows, then [p_cap] by
-    # rank), and the first one is also replayed by XLA's rematerializer
-    # at training scale
+    full-scale training.
+
+    (A feature-payload variant — the 10 feature rows riding the binning
+    sort, no gather at all — was built and measured SLOWER in round 4:
+    payload operands cost ~0.12 ms each per 400k elements
+    (benchmarks/probe_r4_sortcost.py), so a 10-payload sort loses to
+    this gather below the gather's ~1.3M cache crossover.)"""
     pf = fmat_t.T[gid[: cs.p_cap]]  # [p_cap, 16] transient
     pt = jnp.pad(pf.T, ((0, 0), (0, cs.lanes - cs.p_cap)))
-    # row _FCAND: each sorted pair's j-major candidate index as f32
-    # (elementwise from the binning sort payload) — the backward kernel
-    # copies it into the page rows so the routing sort can key on it
-    pm = perm[: cs.p_cap]
-    r = perm.shape[0] // cs.n_cap
-    cand = ((pm % r) * cs.n_cap + pm // r).astype(jnp.float32)
-    cand = jnp.pad(cand, (0, cs.lanes - cs.p_cap),
-                   constant_values=float(cs.n_cap * r))
-    return pt.at[_FCAND, :].set(cand)
+    # row _FCAND: each sorted pair's j-major candidate index as f32 (a
+    # binning sort payload) — the backward kernel copies it into the
+    # page rows so the routing sort can key on it
+    cr = jnp.pad(cand[: cs.p_cap].astype(jnp.float32),
+                 (0, cs.lanes - cs.p_cap),
+                 constant_values=float(cs.dom))
+    return pt.at[_FCAND, :].set(cr)
 
 
-def _assemble_pairs(fmat_t, gid, sorted_key, perm, starts_c, counts, cs):
+def _assemble_pairs(fmat_t, gid, cand, starts_c, counts, cs):
     """Per-camera (unrolled) pair build + camera-flat lane addressing,
     shared by the primal and the VJP forward."""
     b = fmat_t.shape[0]
     pair_t = jnp.stack([
-        _build_pair_t(fmat_t[i], gid[i], sorted_key[i], perm[i], cs)
+        _build_pair_t(fmat_t[i], gid[i], cand[i], cs)
         for i in range(b)
     ])  # [B, 16, lanes]
     pair_flat = jnp.transpose(pair_t, (1, 0, 2)).reshape(_NF, b * cs.lanes)
@@ -878,15 +868,15 @@ def _assemble_pairs(fmat_t, gid, sorted_key, perm, starts_c, counts, cs):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
-def _render_core(fmat_t, order, gid, sorted_key, perm, starts_c, counts,
+def _render_core(fmat_t, order, gid, stile, cand, starts_c, counts,
                  lens, tileid, cs: _CoreStatics, tile_shard):
     """Batched: fmat_t [B,16,N] (FEATURE-MAJOR — row-major [N,16] would
-    be lane-padded 16->128 by XLA, 8x HBM), order [B,N], sorted_key
-    [B,P], perm [B,P] (binning sort payload), starts_c [B,T] (lane
-    offsets, clamped), counts/lens [B,T], tileid [B*T]
+    be lane-padded 16->128 by XLA, 8x HBM), order [B,N] (class-depth
+    order), stile/cand/gid [B,P] (binning sort outputs), starts_c [B,T]
+    (lane offsets, clamped), counts/lens [B,T], tileid [B*T]
     -> acc [B*T, 8, PIX]."""
     pair_flat, counts_flat, starts_flat = _assemble_pairs(
-        fmat_t, gid, sorted_key, perm, starts_c, counts, cs
+        fmat_t, gid, cand, starts_c, counts, cs
     )
     return _shard_call(
         lambda pf, c, st, ti: _fwd_call(pf, c, st, ti, cs.s),
@@ -895,10 +885,10 @@ def _render_core(fmat_t, order, gid, sorted_key, perm, starts_c, counts,
     )
 
 
-def _render_core_fwd(fmat_t, order, gid, sorted_key, perm, starts_c,
+def _render_core_fwd(fmat_t, order, gid, stile, cand, starts_c,
                      counts, lens, tileid, cs, tile_shard):
     pair_flat, counts_flat, starts_flat = _assemble_pairs(
-        fmat_t, gid, sorted_key, perm, starts_c, counts, cs
+        fmat_t, gid, cand, starts_c, counts, cs
     )
     out = _shard_call(
         lambda pf, c, st, ti: _fwd_call(pf, c, st, ti, cs.s),
@@ -907,18 +897,16 @@ def _render_core_fwd(fmat_t, order, gid, sorted_key, perm, starts_c,
     )
     # keep the compacted pair array as a residual: rebuilding it in the
     # backward costs a second [P_cap] gather + transpose
-    return out, (pair_flat, order, sorted_key, perm, starts_c, counts,
+    return out, (pair_flat, order, stile, cand, starts_c, counts,
                  lens, tileid, out)
 
 
 def _render_core_bwd(cs: _CoreStatics, tile_shard, res, g_out):
-    (pair_flat, order, sorted_key, perm, starts_c, counts, lens, tileid,
+    (pair_flat, order, stile, cand, starts_c, counts, lens, tileid,
      out) = res
     b, n = order.shape
-    r = perm.shape[1] // cs.n_cap
-    p_dom = cs.n_cap * r  # per-camera candidate domain
-    assert p_dom < (1 << 24), (
-        f"candidate keys ride an f32 feature row; domain {p_dom} "
+    assert cs.dom < (1 << 24), (
+        f"candidate keys ride an f32 feature row; domain {cs.dom} "
         "exceeds exact-int f32 range"
     )
     lane_base = (jnp.arange(b, dtype=jnp.int32) * cs.lanes)[:, None]
@@ -953,7 +941,7 @@ def _render_core_bwd(cs: _CoreStatics, tile_shard, res, g_out):
         tile_shard,
         psum_out=True,
     )
-    # inverse of the depth order (batch-flat sort, camera-local values)
+    # inverse of the class-depth order (batch-flat sort, camera-local)
     iota_bn = jnp.arange(b * n, dtype=jnp.int32)
     okeys = (iota_bn // n) * n + order.reshape(b * n)
     _, inv_order = jax.lax.sort((okeys, iota_bn), num_keys=1)
@@ -965,42 +953,37 @@ def _render_core_bwd(cs: _CoreStatics, tile_shard, res, g_out):
         # SORT ROUTING (round 3): page rows carry their candidate key in
         # row _FCAND; one multi-payload sort of [page rows + dummy keys
         # for uncovered candidates] lands the 10 gradient columns at
-        # exactly their j-major candidate positions. Measured
-        # (benchmarks/probe_segsum.py r3): an 11-operand sort costs
-        # ~1.2x a 1-operand sort, while XLA's row gather degrades to
-        # ~23 ns/index at the 2M-candidate training scale — the sort
-        # routing saves ~35 ms/camera/step post-densification; below the
-        # ~1.3M-candidate crossover the gather branch below is faster.
-        covered, cand = _coverage_and_cand(
-            sorted_key, perm, r, cs.p_cap, cs.rank_bits, cs.num_tiles
-        )
-        covered = covered.reshape(b, -1)
-        cand = cand.reshape(b, -1)
-        zeros_p = jnp.zeros((p_dom,), jnp.float32)
+        # exactly their j-major candidate positions. XLA's row gather
+        # degrades to ~23 ns/index at the 2M-candidate training scale —
+        # past the ~1.3M-candidate crossover this beats the gather
+        # branch below despite the ~0.4 ns/elem/payload sort surcharge
+        # (benchmarks/probe_r4_sortcost.py).
+        covered = _coverage(stile, cs.p_cap, cs.num_tiles).reshape(b, -1)
+        cand_f = cand.astype(jnp.float32)
+        zeros_p = jnp.zeros((cs.dom,), jnp.float32)
         dfmat_cams = []
         for i in range(b):
             pages = dpaged[i * cs.c_cap * _NF : (i + 1) * cs.c_cap * _NF]
             pg3 = pages.reshape(cs.c_cap, _NF, 128)
             raw = pg3[:, _FCAND, :].reshape(-1)  # [c_cap*128] f32, cand+1
-            keys_pg = jnp.where(raw > 0.0, raw - 1.0, float(p_dom))
-            dummy = jnp.where(covered[i], float(p_dom), cand[i])
+            keys_pg = jnp.where(raw > 0.0, raw - 1.0, float(cs.dom))
+            dummy = jnp.where(covered[i], float(cs.dom), cand_f[i])
             ops = [jnp.concatenate([keys_pg, dummy])]
             for k in range(10):
                 ops.append(
                     jnp.concatenate([pg3[:, k, :].reshape(-1), zeros_p])
                 )
             srt = jax.lax.sort(tuple(ops), num_keys=1)
-            # positions [0, p_dom) hold exactly candidate c's gradient
+            # positions [0, dom) hold exactly candidate c's gradient
             # row (real page row if the kernel wrote it, zero dummy
-            # otherwise)
-            dpr = jnp.stack(
-                [c[:p_dom] for c in srt[1:]]
-                + [zeros_p] * (_NF - 10),
+            # otherwise); reduce column-wise (a [dom, 16] row-major
+            # stack would be lane-padded 16->128: ~0.5 GB transient)
+            red = [jnp.sum(_reduce_cols(c[: cs.dom], cs), axis=0)
+                   for c in srt[1:]]
+            dsorted = jnp.stack(
+                red + [jnp.zeros((cs.n_cap,), jnp.float32)] * (_NF - 10),
                 axis=-1,
-            )  # [P, 16] transient
-            # j-major: sum r contiguous [n_cap, 16] blocks; ranks beyond
-            # the active cap got no candidates -> zero
-            dsorted = jnp.sum(dpr.reshape(r, cs.n_cap, _NF), axis=0)
+            )  # [n_cap, 16]
             if cs.n_cap < n:
                 dsorted = jnp.pad(dsorted, ((0, n - cs.n_cap), (0, 0)))
             dfmat_cams.append(dsorted[inv_local[i]].T)  # [16, N]
@@ -1012,9 +995,8 @@ def _render_core_bwd(cs: _CoreStatics, tile_shard, res, g_out):
         # — per-camera keeps those transients at one camera's size
         # instead of materializing a B-camera 9 GB resident.
         pos2 = _pos2_candidate_order(
-            sorted_key, perm, r, cs.p_cap, cs.c_cap, cs.k_cap,
-            cs.rank_bits, cs.num_tiles,
-        ).reshape(b, -1)  # [B, P] camera-local page rows, j-major
+            stile, cand, cs.p_cap, cs.c_cap, cs.k_cap, cs.num_tiles,
+        ).reshape(b, -1)  # [B, dom] camera-local page rows, j-major
         dfmat_cams = []
         for i in range(b):
             pages = dpaged[i * cs.c_cap * _NF : (i + 1) * cs.c_cap * _NF]
@@ -1023,13 +1005,33 @@ def _render_core_bwd(cs: _CoreStatics, tile_shard, res, g_out):
                 .transpose(0, 2, 1)
                 .reshape(cs.c_cap * 128, _NF)
             )  # transient, one camera
-            dpr = rows[pos2[i]]  # [P, 16] transient
-            dsorted = jnp.sum(dpr.reshape(r, cs.n_cap, _NF), axis=0)
+            dpr = rows[pos2[i]]  # [dom, 16] transient
+            dsorted = _reduce_candidates(dpr, cs)
             if cs.n_cap < n:
                 dsorted = jnp.pad(dsorted, ((0, n - cs.n_cap), (0, 0)))
             dfmat_cams.append(dsorted[inv_local[i]].T)  # [16, N]
     dfmat_t = jnp.stack(dfmat_cams)  # [B, 16, N]
     return dfmat_t, None, None, None, None, None, None, None, None
+
+
+def _reduce_cols(col, cs: _CoreStatics):
+    """[dom] candidate-order column -> [n_classes, n_cap]-compatible
+    stack for summing: returns a [k, n_cap] array whose axis-0 sum is
+    the per-Gaussian reduction (k = max slots). Used by the sort-routing
+    branch where gradients arrive as separate columns."""
+    lsize = cs.side * cs.side * cs.b_cap
+    n_s = cs.n_cap - cs.b_cap
+    parts = []
+    if cs.b_cap > 0:
+        parts.append(col[:lsize].reshape(cs.side * cs.side, cs.b_cap))
+    if n_s > 0:
+        parts.append(col[lsize:].reshape(cs.s_side * cs.s_side, n_s))
+    if len(parts) == 1:
+        return parts[0]
+    # pad slot axes to a common k, concat along the rank axis
+    k = max(p.shape[0] for p in parts)
+    parts = [jnp.pad(p, ((0, k - p.shape[0]), (0, 0))) for p in parts]
+    return jnp.concatenate(parts, axis=1)
 
 
 _render_core.defvjp(_render_core_fwd, _render_core_bwd)
@@ -1099,24 +1101,30 @@ def _core_statics(n, h, w, cfg, tile_capacity, pair_capacity, interpret,
     if tile_capacity % 128:
         raise ValueError("tile_capacity must be a multiple of 128")
     n_cap = n if active_cap is None else min(active_cap, n)
+    num_tiles = s.tiles_x * s.tiles_y
+    side = cfg.rect_side
+    b_cap = resolve_big_capacity(n_cap, cfg)
+    s_side = min(side, 2)
+    dom = side * side * b_cap + s_side * s_side * (n_cap - b_cap)
     p_cap = _resolve_pair_capacity(n_cap, cfg.rect_side**2, cfg,
                                    pair_capacity)
-    num_tiles = s.tiles_x * s.tiles_y
+    # the dual-class domain can undercut the requested budget; the pair
+    # array slices the sorted order, so the budget can never exceed dom
+    p_cap = max(128, min(p_cap, dom) // 128 * 128)
     lanes = -(-(p_cap + 2 * _WIN) // 128) * 128
     c_cap = p_cap // 128 + num_tiles + 2  # +guard pages (incl. zero row)
-    p_dom = n_cap * cfg.rect_side**2
     if cfg.bwd_routing == "auto":
         # measured crossover (BENCH.md round 3): XLA's row gather costs
         # 4.5 ns/idx at ~900k candidates but 23 ns/idx at ~2M (source
-        # falls out of cache), while an 11-operand sort stays ~3-7
-        # ns/element — the sort routing wins past ~1.3M candidates
-        sort_routing = p_dom >= 1_300_000
+        # falls out of cache), while the multi-payload sort scales
+        # smoothly — the sort routing wins past ~1.3M candidates
+        sort_routing = dom >= 1_300_000
     else:
         sort_routing = cfg.bwd_routing == "sort"
     return _CoreStatics(
         s=s, p_cap=p_cap, lanes=lanes, c_cap=c_cap, k_cap=tile_capacity,
-        rank_bits=max((n_cap - 1).bit_length(), 1), num_tiles=num_tiles,
-        n_cap=n_cap, sort_routing=sort_routing,
+        num_tiles=num_tiles, n_cap=n_cap, b_cap=b_cap, side=side,
+        s_side=s_side, dom=dom, sort_routing=sort_routing,
     )
 
 
@@ -1147,8 +1155,9 @@ def _bin_one(means, scales, quats, features, opacities, alive, camera,
     )
     fmat = _feature_matrix(prims)
     starts_c = jnp.minimum(pairs.starts[:-1], cs.p_cap)
-    return (prims, fmat, pairs.order, pairs.sorted_gid, pairs.sorted_key,
-            pairs.perm, starts_c, pairs.counts, pairs.lens, pairs.overflow)
+    assert pairs.b_cap == cs.b_cap and pairs.dom == cs.dom
+    return (prims, fmat, pairs.order, pairs.sorted_gid, pairs.sorted_tile,
+            pairs.cand, starts_c, pairs.counts, pairs.lens, pairs.overflow)
 
 
 def _finish(acc_b, prims_b, overflow, background, cs, h, w, batched):

@@ -376,3 +376,79 @@ class TestDenseSceneFidelity:
             out = run(rasterize_tiled, params, cam, BG, tile_capacity=cap)
             errs.append(float(jnp.max(jnp.abs(out["image"] - ample["image"]))))
         assert errs[0] >= errs[1] >= errs[2], errs
+
+
+class TestDualClassBinning:
+    """The dual-class candidate domain (binning module docstring) must be
+    invisible in outputs: big Gaussians (rect > 2x2) compact into the
+    static big-class prefix, smalls take 2x2 slots, and the composite +
+    VJP match the oracle exactly. Small fixtures hit the degenerate
+    all-big path (b_cap == n_cap), so this suite forces b_cap < n_cap."""
+
+    def _params(self, n=6000, seed=3):
+        rng = np.random.RandomState(seed)
+        means = rng.randn(n, 3).astype(np.float32) * 0.6
+        # bimodal scales: ~8% big splats (rect wider than 2x2 at 64^2)
+        log_scales = np.where(
+            rng.rand(n, 1) < 0.08,
+            rng.randn(n, 3).astype(np.float32) * 0.3 - 1.2,
+            rng.randn(n, 3).astype(np.float32) * 0.4 - 3.5,
+        ).astype(np.float32)
+        quats = rng.randn(n, 4).astype(np.float32)
+        feats = (rng.randn(n, 1, 3) * 0.3).astype(np.float32)
+        opa_logits = rng.randn(n).astype(np.float32)
+        alive = np.ones(n, bool)
+        alive[-300:] = False
+        return tuple(jnp.asarray(x) for x in (
+            means, log_scales, quats, feats, opa_logits, alive))
+
+    def test_split_matches_oracle_fwd_and_grads(self):
+        from humangaussian_tpu.ops.binning import resolve_big_capacity
+        cfg = RasterizeConfig(tile=32, max_tiles_per_gaussian=9)
+        params = self._params()
+        n = params[0].shape[0]
+        assert resolve_big_capacity(n, cfg) < n  # actually dual-class
+        cam = make_camera()
+        out = run(rasterize_tiled, params, cam, BG, cfg=cfg)
+        ref = run(rasterize_reference, params, cam, BG, cfg=cfg)
+        np.testing.assert_allclose(out["image"], ref["image"], atol=2e-6)
+        np.testing.assert_allclose(out["alpha"], ref["alpha"], atol=2e-6)
+
+        def loss_t(p):
+            o = run(rasterize_tiled, p[:5] + (params[5],), cam, BG, cfg=cfg)
+            return jnp.sum(o["image"] * o["image"]) + jnp.sum(o["alpha"])
+
+        def loss_r(p):
+            o = run(rasterize_reference, p[:5] + (params[5],), cam, BG,
+                    cfg=cfg)
+            return jnp.sum(o["image"] * o["image"]) + jnp.sum(o["alpha"])
+
+        g_t = jax.grad(loss_t)(params[:5])
+        g_r = jax.grad(loss_r)(params[:5])
+        for a, b in zip(g_t, g_r):
+            scale = max(float(jnp.max(jnp.abs(b))), 1e-20)
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale, atol=3e-5)
+
+    def test_demotion_reports_overflow(self):
+        # a big_capacity far below the big count forces demotion: output
+        # stays finite and the clipped tiles are accounted in overflow.
+        # 256^2 (8x8 tile grid) so rects wider than 2x2 actually occur.
+        cfg = RasterizeConfig(tile=32, max_tiles_per_gaussian=9,
+                              big_capacity=128)
+        params = self._params()
+        cam = make_camera(256, 256)
+        out = run(rasterize_tiled, params, cam, BG, cfg=cfg)
+        assert bool(jnp.all(jnp.isfinite(out["image"])))
+        assert int(out["overflow"]) > 0
+
+    def test_split_at_256(self):
+        # dual-class with a REAL big population (8x8 tile grid): parity
+        # vs oracle on forward outputs
+        cfg = RasterizeConfig(tile=32, max_tiles_per_gaussian=9)
+        params = self._params()
+        cam = make_camera(256, 256)
+        out = run(rasterize_tiled, params, cam, BG, cfg=cfg)
+        ref = run(rasterize_reference, params, cam, BG, cfg=cfg)
+        np.testing.assert_allclose(out["image"], ref["image"], atol=2e-6)
+        np.testing.assert_allclose(out["alpha"], ref["alpha"], atol=2e-6)
