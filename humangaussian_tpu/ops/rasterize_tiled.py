@@ -205,7 +205,22 @@ def _chunk_common(f, geom, kc, count, s: CompositeStatics):
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, s.chunk), 1)
     valid = (kc * s.chunk + lane) < count
     pass_ = valid & (power <= 0.0) & (alpha >= s.alpha_min)
-    log1ma = jnp.where(pass_, jnp.log1p(-jnp.where(pass_, alpha, 0.0)), 0.0)
+    # Mosaic's VPU log/log1p approximation carries ~2.7e-4 relative
+    # error (measured round 4; exp is ~4e-6) — accumulated into the
+    # per-pixel log-transmittance that becomes w = T*alpha, that is a
+    # 3-6e-3 IMAGE error vs the oracle. One Newton step through the
+    # accurate exp (y' = y - 1 + s*exp(-y), quadratic convergence)
+    # brings log1p back to exp-level accuracy for ~8 extra VPU
+    # ops/pair-pixel. Interpret mode (CPU tests) takes the exact
+    # libm path.
+    a_gated = jnp.where(pass_, alpha, 0.0)
+    if s.interpret:
+        log1ma = jnp.where(pass_, jnp.log1p(-a_gated), 0.0)
+    else:
+        sm = 1.0 - a_gated  # >= 0.01 (alpha_max clamp): no cancellation
+        y = jnp.log(sm)
+        y = y - 1.0 + sm * jnp.exp(-y)
+        log1ma = jnp.where(pass_, y, 0.0)
     return dict(
         ca=ca,
         cb=cb,
