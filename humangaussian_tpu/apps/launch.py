@@ -56,6 +56,16 @@ def build_system(cfg: dict):
 
     sys_cfg = cfg.get("system", {})
     data_cfg = cfg.get("data", {})
+    stype = sys_cfg.get("type", "gaussiandreamer-system")
+    if stype == "dreamfusion-system":
+        return _build_dreamfusion_system(cfg)
+    if stype == "photo-3dgs-system":
+        return _build_photo_trainer(cfg)
+    if stype != "gaussiandreamer-system":
+        raise ValueError(
+            f"unknown system.type {stype!r}; expected gaussiandreamer-"
+            "system, dreamfusion-system or photo-3dgs-system"
+        )
 
     def take(dc_cls, src: dict):
         import dataclasses
@@ -185,6 +195,240 @@ def build_system(cfg: dict):
     )
 
 
+def _take(dc_cls, src: dict):
+    fields = {f.name for f in dataclasses.fields(dc_cls)}
+    return dc_cls(**{k: v for k, v in src.items() if k in fields})
+
+
+def _build_dreamfusion_system(cfg: dict):
+    """system.type: dreamfusion-system — the threestudio stock
+    text-to-NeRF family (reference: registry name "dreamfusion-system",
+    drivable via launch.py:105-106 + YAML), TPU-native: implicit-volume
+    NeRF + vanilla SD guidance + random-camera datamodule.
+
+    system.guidance.arch selects "tiny" (random weights — smoke/dev, no
+    checkpoint needed) or "sd2" (weights converted from a local SD2
+    diffusers checkpoint at system.guidance.model_key)."""
+    import jax
+    import jax.numpy as jnp
+
+    from humangaussian_tpu.data.cameras import RandomCameraConfig
+    from humangaussian_tpu.guidance.prompt import (
+        PromptProcessor,
+        PromptProcessorConfig,
+        dummy_encode_fn,
+    )
+    from humangaussian_tpu.guidance.stable_diffusion import (
+        SDGuidanceConfig,
+        StableDiffusionGuidance,
+        sd_eps_schedule,
+    )
+    from humangaussian_tpu.guidance.unet import (
+        SD2_SINGLE_CONFIG,
+        SingleUNet,
+        TINY_SINGLE_CONFIG,
+    )
+    from humangaussian_tpu.guidance.vae import (
+        AutoencoderKL,
+        VAEConfig,
+        tiny_vae_config,
+    )
+    from humangaussian_tpu.nerf.geometry import ImplicitVolumeConfig
+    from humangaussian_tpu.nerf.renderer import RendererConfig
+    from humangaussian_tpu.nerf.system import (
+        DreamFusionConfig,
+        DreamFusionSystem,
+    )
+
+    sys_cfg = cfg.get("system", {})
+    data_cfg = cfg.get("data", {})
+    g_raw = dict(sys_cfg.get("guidance", {}))
+    arch = g_raw.get("arch", "tiny")
+    rng = jax.random.PRNGKey(0)
+    if arch == "tiny":
+        unet = SingleUNet(TINY_SINGLE_CONFIG)
+        uparams = unet.init(rng, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+                            jnp.zeros((1, 7, 32)))
+        vae = AutoencoderKL(tiny_vae_config())
+        vparams = vae.init(rng, jnp.zeros((1, 16, 16, 3)), rng)
+        g_raw.setdefault("latent_size", 8)
+        g_raw.setdefault("image_size", 16)
+        emb_dim, emb_len = 32, 7
+    elif arch == "sd2":
+        from humangaussian_tpu.guidance.convert import (
+            convert_unet_state_dict,
+            convert_vae_state_dict,
+            load_torch_state_dict,
+        )
+
+        unet = SingleUNet(SD2_SINGLE_CONFIG)
+        usd = load_torch_state_dict(_find_weights(g_raw["model_key"], "unet"))
+        uparams, _ = convert_unet_state_dict(
+            usd, num_levels=len(SD2_SINGLE_CONFIG.block_out_channels)
+        )
+        vae = AutoencoderKL(VAEConfig())
+        vsd = load_torch_state_dict(_find_weights(g_raw["vae_key"], ""))
+        vparams, _ = convert_vae_state_dict(vsd)
+        emb_dim, emb_len = 1024, 77
+    else:
+        raise ValueError(f"unknown system.guidance.arch {arch!r}")
+    guidance = StableDiffusionGuidance(
+        unet=unet, unet_params=uparams, vae=vae, vae_params=vparams,
+        schedule=sd_eps_schedule(), cfg=_take(SDGuidanceConfig, g_raw),
+    )
+
+    pp_raw = dict(sys_cfg.get("prompt_processor", {}))
+    pp_raw.setdefault("model_path", "")
+    proc = PromptProcessor(
+        _take(PromptProcessorConfig, pp_raw),
+        encode_fn=dummy_encode_fn(emb_len, emb_dim)
+        if arch == "tiny" or not pp_raw.get("model_path")
+        else None,
+    )
+    embeddings = proc()
+
+    from humangaussian_tpu.nerf.encoding import HashGridConfig
+
+    geo_raw = dict(sys_cfg.get("geometry", {}))
+    if isinstance(geo_raw.get("hash_cfg"), dict):
+        geo_raw["hash_cfg"] = _take(HashGridConfig, geo_raw["hash_cfg"])
+    df_raw = dict(sys_cfg)
+    df_raw["geometry"] = _take(ImplicitVolumeConfig, geo_raw)
+    df_raw["renderer"] = _take(RendererConfig,
+                               dict(sys_cfg.get("renderer", {})))
+    return DreamFusionSystem(
+        _take(DreamFusionConfig, df_raw), guidance, embeddings,
+        camera_cfg=_take(RandomCameraConfig, data_cfg),
+    )
+
+
+def _build_photo_trainer(cfg: dict):
+    """system.type: photo-3dgs-system — the vanilla photometric 3DGS
+    trainer (reference gaussiansplatting/train.py) fed by any of the
+    posed-image datamodules: data.type in {blender, colmap, multiview,
+    co3d} (reference registers image/multiview/co3d but ships no
+    consumer; here they feed the photo trainer through
+    as_photo_dataset())."""
+    import numpy as np
+
+    from humangaussian_tpu.train.photo import (
+        PhotoTrainConfig,
+        PhotoTrainer,
+    )
+
+    sys_cfg = cfg.get("system", {})
+    data_cfg = dict(cfg.get("data", {}))
+    dtype_ = data_cfg.pop("type", "blender")
+    if dtype_ == "blender":
+        from humangaussian_tpu.data.photo import load_blender
+
+        dataset = load_blender(
+            data_cfg["dataroot"],
+            white_background=bool(sys_cfg.get("white_background", False)),
+        )
+    elif dtype_ == "colmap":
+        from humangaussian_tpu.data.photo import load_colmap
+
+        dataset = load_colmap(data_cfg["dataroot"])
+    elif dtype_ == "multiview":
+        from humangaussian_tpu.data.multiview import (
+            MultiviewConfig,
+            MultiviewDataModule,
+        )
+
+        data_cfg.setdefault("dataroot", data_cfg.get("dataroot", ""))
+        dataset = MultiviewDataModule(
+            _take(MultiviewConfig, data_cfg)
+        ).as_photo_dataset()
+    elif dtype_ == "co3d":
+        from humangaussian_tpu.data.co3d import Co3dConfig, Co3dDataModule
+
+        data_cfg.setdefault("root_dir", data_cfg.pop("dataroot", ""))
+        dataset = Co3dDataModule(
+            _take(Co3dConfig, data_cfg)
+        ).as_photo_dataset()
+    else:
+        raise ValueError(
+            f"unknown data.type {dtype_!r} for photo-3dgs-system; expected "
+            "blender, colmap, multiview or co3d"
+        )
+
+    trainer = PhotoTrainer(_take(PhotoTrainConfig, sys_cfg), dataset.extent)
+    if dataset.points is not None and len(dataset.points):
+        pts = np.asarray(dataset.points, np.float32)
+        colors = (
+            np.asarray(dataset.point_colors, np.float32)
+            if dataset.point_colors is not None
+            else np.full_like(pts, 0.5)
+        )
+    else:
+        # no sparse points (blender/multiview/co3d): random-in-sphere
+        # init like the reference dataset_readers fallback
+        rs = np.random.RandomState(0)
+        n0 = int(sys_cfg.get("init_points", 10_000))
+        pts = (rs.rand(n0, 3).astype(np.float32) * 2 - 1) * (
+            dataset.extent * 0.5
+        )
+        colors = rs.rand(n0, 3).astype(np.float32)
+    return ("photo", trainer, dataset, pts, colors)
+
+
+def _run_dreamfusion(system, cfg, dirs):
+    import jax
+    import numpy as np
+
+    from humangaussian_tpu.utils.saving import save_image_grid
+
+    trainer_cfg = cfg.get("trainer", {})
+    max_steps = int(trainer_cfg.get("max_steps", system.cfg.max_steps))
+    state = system.init_state(jax.random.PRNGKey(int(cfg.get("seed", 0))))
+    emb = system.prompt_embeddings
+    for i in range(max_steps):
+        state, metrics = system.train_step(state, emb)
+        if (i + 1) % int(trainer_cfg.get("log_every", 10)) == 0:
+            print(f"step {i+1}: loss={float(metrics['loss']):.4f}")
+    # eval orbit strip
+    import jax.numpy as jnp
+
+    from humangaussian_tpu.core.camera import look_at_c2w
+
+    frames = []
+    h = w = int(cfg.get("data", {}).get("eval_height", 64))
+    for az in np.linspace(0, 360, 8, endpoint=False):
+        a = np.deg2rad(az)
+        eye = jnp.asarray(
+            [2.0 * np.sin(a), 0.3, 2.0 * np.cos(a)], jnp.float32
+        )
+        c2w = look_at_c2w(eye, jnp.zeros(3), jnp.array([0.0, 1.0, 0.0]))
+        out = system.render_eval(state, c2w, 0.8, h, w)
+        frames.append(np.asarray(out["comp_rgb"]))
+    save_image_grid(os.path.join(dirs["save"], "orbit.png"), frames)
+    return state
+
+
+def _run_photo(bundle, cfg, dirs):
+    import jax
+    import numpy as np
+
+    from humangaussian_tpu.io.ply import save_ply
+    from humangaussian_tpu.train.photo import train_photo
+
+    _tag, trainer, dataset, pts, colors = bundle
+    state = trainer.init_state(
+        jax.random.PRNGKey(int(cfg.get("seed", 0))), pts, colors
+    )
+    iters = int(cfg.get("trainer", {}).get("max_steps",
+                                           trainer.cfg.iterations))
+    state = train_photo(trainer, state, dataset, iterations=iters,
+                        rng=np.random.default_rng(int(cfg.get("seed", 0))))
+    if dataset.test:
+        metrics = trainer.evaluate(state.scene, dataset.test)
+        print(f"photo eval: psnr={metrics['psnr']:.2f} "
+              f"ssim={metrics['ssim']:.3f}")
+    save_ply(state.scene, os.path.join(dirs["save"], "last.ply"))
+    return state
+
+
 def _find_weights(root: str, subfolder: str) -> str:
     base = os.path.join(root, subfolder) if subfolder else root
     for name in (
@@ -235,6 +479,21 @@ def main(argv=None):
     shutil.copy(args.config, os.path.join(dirs["configs"], "raw.yaml"))
 
     system = build_system(cfg)
+
+    # non-avatar families run their own loops (reference: every
+    # registered system is drivable through launch.py + YAML,
+    # /root/reference/launch.py:105-106)
+    if isinstance(system, tuple) and system and system[0] == "photo":
+        if args.train:
+            _run_photo(system, cfg, dirs)
+        return dirs["trial"]
+    from humangaussian_tpu.nerf.system import DreamFusionSystem
+
+    if isinstance(system, DreamFusionSystem):
+        if args.train:
+            _run_dreamfusion(system, cfg, dirs)
+        return dirs["trial"]
+
     key = jax.random.PRNGKey(exp.seed)
     state = system.init_state(key, seed=exp.seed)
     if args.resume:

@@ -308,6 +308,26 @@ class Co3dDataModule:
                 Co3dFrame(img, depth, m, c2w_gl, k2, rays_o, rays_d)
             )
 
+    def as_photo_dataset(self, test_every: int = 8):
+        """Adapt one CO3D sequence to train/photo.py's PhotoDataset (the
+        frames already carry OpenGL c2w): photometric 3DGS from CO3D."""
+        from humangaussian_tpu.data.photo import PhotoDataset, PosedImage
+
+        posed = []
+        for i, fr in enumerate(self.frames):
+            k = np.asarray(fr.intrinsic)
+            h, w = np.asarray(fr.rgb).shape[:2]
+            posed.append(PosedImage(
+                image=np.asarray(fr.rgb, np.float32),
+                c2w=np.asarray(fr.c2w, np.float32),
+                fovy=float(2.0 * np.arctan(0.5 * h / k[1, 1])),
+                fovx=float(2.0 * np.arctan(0.5 * w / k[0, 0])),
+                name=f"frame_{i}",
+            ))
+        train = [p for i, p in enumerate(posed) if i % test_every != 0]
+        test = [p for i, p in enumerate(posed) if i % test_every == 0]
+        return PhotoDataset(train=train or posed, test=test)
+
     def __len__(self):
         return len(self.frames)
 

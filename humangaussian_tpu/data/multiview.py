@@ -127,6 +127,30 @@ class MultiviewDataModule:
                 rays_d=jnp.asarray(d),
             ))
 
+    def as_photo_dataset(self, test_every: int = 8):
+        """Adapt the posed frames to train/photo.py's PhotoDataset so the
+        launcher can drive photometric 3DGS training from a multiview
+        capture (the reference registers this datamodule but ships no
+        consumer; here it feeds the vanilla 3DGS trainer)."""
+        import numpy as np
+
+        from humangaussian_tpu.data.photo import PhotoDataset, PosedImage
+
+        cv2gl = np.diag(np.array([1.0, -1.0, -1.0, 1.0], np.float32))
+        posed = []
+        for i, fr in enumerate(self.frames):
+            intr = np.asarray(fr.intrinsic)
+            fovy = 2.0 * np.arctan(0.5 * self.height / intr[1, 1])
+            fovx = 2.0 * np.arctan(0.5 * self.width / intr[0, 0])
+            posed.append(PosedImage(
+                image=np.asarray(fr.rgb, np.float32),
+                c2w=(np.asarray(fr.c2w) @ cv2gl).astype(np.float32),
+                fovy=float(fovy), fovx=float(fovx), name=f"frame_{i}",
+            ))
+        train = [p for i, p in enumerate(posed) if i % test_every != 0]
+        test = [p for i, p in enumerate(posed) if i % test_every == 0]
+        return PhotoDataset(train=train or posed, test=test)
+
     def __len__(self):
         return len(self.frames)
 

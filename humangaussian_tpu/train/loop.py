@@ -99,10 +99,14 @@ def run_training(
     tile_cap = cfg.tile_capacity
     ovf_streak = 0
 
-    for _ in range(start_step, max_steps):
+    for i in range(start_step, max_steps):
         state, metrics = system.train_step(state, bucket, tile_cap)
         state, dens_info = system.maybe_densify(state)
-        step = int(state.step)
+        # host-side step counter: state.step is a device array and
+        # int(state.step) would force a BLOCKING fetch every iteration —
+        # through the axon relay that is a 10-30 ms round-trip per step
+        # that also collapses the async dispatch pipeline
+        step = i + 1
         if dens_info is not None:
             # alive count only changes at densify/prune events; resize
             # the candidate-domain bucket (a new bucket re-specializes

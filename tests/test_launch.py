@@ -178,3 +178,118 @@ class TestLaunchCLI:
         system = build_system(cfg)
         assert system.guidance.unet.cfg.fusion == "sum"
         assert system.guidance.unet.cfg.attn_heads == (2, 2)  # list->tuple
+
+
+class TestLaunchFamilies:
+    """The non-avatar families the reference reaches through its
+    registry + YAML (launch.py:105-106): dreamfusion-system and the
+    photo-3dgs-system fed by blender / multiview posed-image data
+    (VERDICT r3 #6: configs + launcher wiring for the orphan modules)."""
+
+    def _run_main(self, argv):
+        from humangaussian_tpu.apps.launch import main
+
+        return main(argv)
+
+    def test_dreamfusion_tiny(self, tmp_path):
+        out = self._run_main([
+            "--config", "configs/dreamfusion.yaml", "--train",
+            f"exp_root_dir={tmp_path}/out",
+            "trainer.max_steps=2",
+            "data.batch_size=1", "data.height=16", "data.width=16",
+            "data.eval_height=16",
+            "system.renderer.num_samples_per_ray=8",
+            "system.geometry.n_neurons=8",
+            "system.geometry.hash_cfg.n_levels=2",
+            "system.geometry.hash_cfg.log2_hashmap_size=8",
+        ])
+        assert os.path.isdir(out)
+        # orbit strip rendered
+        import glob
+
+        assert glob.glob(os.path.join(out, "save", "orbit.png"))
+
+    def _blender_scene(self, tmp):
+        from PIL import Image
+
+        rng = np.random.RandomState(0)
+        for i in range(3):
+            img = (rng.rand(32, 32, 4) * 255).astype(np.uint8)
+            Image.fromarray(img).save(os.path.join(tmp, f"r_{i}.png"))
+        c2ws = []
+        for i in range(3):
+            c2w = np.eye(4)
+            c2w[:3, 3] = [0.3 * i, 0.1, 2.5]
+            c2ws.append(c2w)
+        meta = {
+            "camera_angle_x": 0.8,
+            "frames": [
+                {"file_path": f"./r_{i}", "transform_matrix": c2ws[i].tolist()}
+                for i in range(3)
+            ],
+        }
+        with open(os.path.join(tmp, "transforms_train.json"), "w") as f:
+            json.dump(meta, f)
+
+    def test_photo_blender_tiny(self, tmp_path):
+        scene = os.path.join(str(tmp_path), "scene")
+        os.makedirs(scene)
+        self._blender_scene(scene)
+        out = self._run_main([
+            "--config", "configs/photo.yaml", "--train",
+            f"exp_root_dir={tmp_path}/out",
+            f"data.dataroot={scene}",
+            "trainer.max_steps=3",
+            "system.capacity=2048", "system.init_points=256",
+            "system.sh_degree=1",
+        ])
+        assert os.path.exists(os.path.join(out, "save", "last.ply"))
+
+    def test_photo_multiview_tiny(self, tmp_path):
+        from PIL import Image
+
+        scene = os.path.join(str(tmp_path), "mv")
+        os.makedirs(scene)
+        rng = np.random.RandomState(1)
+        frames = []
+        for i in range(4):
+            name = f"f_{i}.png"
+            Image.fromarray(
+                (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+            ).save(os.path.join(scene, name))
+            c2w = np.eye(4)
+            c2w[:3, 3] = [0.2 * i, 0.0, 2.0]
+            frames.append({
+                "fl_x": 32.0, "fl_y": 32.0, "cx": 16.0, "cy": 16.0,
+                "h": 32, "w": 32, "file_path": name,
+                "transform_matrix": c2w.tolist(),
+            })
+        with open(os.path.join(scene, "transforms.json"), "w") as f:
+            json.dump({"camera_model": "OPENCV", "frames": frames}, f)
+        out = self._run_main([
+            "--config", "configs/photo.yaml", "--train",
+            f"exp_root_dir={tmp_path}/out",
+            "data.type=multiview",
+            f"data.dataroot={scene}",
+            "data.train_downsample_resolution=1",
+            "trainer.max_steps=2",
+            "system.capacity=2048", "system.init_points=128",
+            "system.sh_degree=0",
+        ])
+        assert os.path.exists(os.path.join(out, "save", "last.ply"))
+
+    def test_photo_co3d_tiny(self, tmp_path):
+        from test_co3d import _make_co3d
+
+        seq = _make_co3d(tmp_path, n_frames=4, h=32, w=32)
+        out = self._run_main([
+            "--config", "configs/photo.yaml", "--train",
+            f"exp_root_dir={tmp_path}/out",
+            "data.type=co3d",
+            f"data.dataroot={seq}",
+            "data.height=32", "data.width=32",
+            "trainer.max_steps=2",
+            "system.capacity=2048", "system.init_points=128",
+            "system.sh_degree=0",
+        ])
+        assert os.path.exists(os.path.join(out, "save", "last.ply"))
