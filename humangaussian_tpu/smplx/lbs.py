@@ -158,3 +158,19 @@ def lbs_forward(
     landmarks = verts[jnp.asarray(model.landmark_vertex_ids)]
     joints_out = jnp.concatenate([joints_posed, landmarks], axis=0)
     return verts, joints_out
+
+
+def joint_world_rotations(model, pose: SMPLXPose) -> jnp.ndarray:
+    """Global (world-frame) rotation of every kinematic joint, [J,3,3].
+
+    The rotation-only forward kinematics of lbs_forward (its `world`
+    transforms, :140-145) — used by the viewer's skeleton dragging to
+    conjugate a screen-space rotation into a joint's parent frame
+    (reference GUI: animation.py skeleton dragging, :700-931)."""
+    aa = jnp.asarray(pose.full_pose(model.hands_mean, flat_hand_mean=True))
+    rmats = rodrigues(aa.reshape(-1, 3))
+    parents = np.asarray(model.parents)
+    world = [rmats[0]]
+    for i in range(1, model.num_joints):
+        world.append(world[parents[i]] @ rmats[i])
+    return jnp.stack(world)

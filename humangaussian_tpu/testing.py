@@ -59,7 +59,9 @@ def tiny_prompt_embeddings():
     )
 
 
-def tiny_system(capacity: int = 2048, batch: int = 2) -> GaussianDreamerSystem:
+def tiny_system(capacity: int = 2048, batch: int = 2,
+                raster_cfg: RasterizeConfig | None = None
+                ) -> GaussianDreamerSystem:
     skel = (
         Skeleton(style="humansd", apose=True).load_smplx(toy_model()).scale(-10)
     )
@@ -79,7 +81,8 @@ def tiny_system(capacity: int = 2048, batch: int = 2) -> GaussianDreamerSystem:
         batch_size=batch, height=64, width=64, eval_height=64, eval_width=64,
         n_val_views=2, n_test_views=3,
     )
-    raster_cfg = RasterizeConfig(tile=32, max_tiles_per_gaussian=16)
+    if raster_cfg is None:
+        raster_cfg = RasterizeConfig(tile=32, max_tiles_per_gaussian=16)
     return GaussianDreamerSystem(
         cfg,
         skel,

@@ -233,3 +233,94 @@ class TestPoseEditingViewer:
             assert e.value.code == 400
         finally:
             server.stop()
+
+
+class TestViewerDragAndModes:
+    """Round-4 parity extras (VERDICT r3 #7): skeleton dragging through
+    POST /drag and the gs/mesh/skel display modes of the reference GUI
+    (animation.py:558-601,700-931), driven headless over HTTP."""
+
+    def _server(self):
+        import urllib.request
+
+        import jax.numpy as jnp
+
+        from humangaussian_tpu.animation import AvatarAnimator
+        from humangaussian_tpu.apps.viewer import ViewerServer
+        from humangaussian_tpu.core.scene import scene_from_points
+        from humangaussian_tpu.smplx.lbs import SMPLXPose, lbs_forward
+
+        model = MODEL
+        verts, _ = lbs_forward(model, SMPLXPose.rest())
+        v = np.asarray(verts)
+        center = (v.max(0) + v.min(0)) / 2
+        scale = 0.6 / np.max(v.max(0) - v.min(0)) * (1.1**10)
+        pts = jnp.asarray((v - center) * scale)
+        n = pts.shape[0]
+        cap = int(np.ceil(n / 256) * 256)
+        scene = scene_from_points(
+            pts, jnp.full((n, 3), 0.6), cap, init_opacity=0.9
+        )
+        animator = AvatarAnimator(scene, model)
+        server = ViewerServer(scene, port=0, size=128,
+                              animator=animator).start()
+        return server, urllib.request
+
+    def test_display_modes(self):
+        server, urllib_request = self._server()
+        try:
+            base = f"http://127.0.0.1:{server.port}"
+            imgs = {}
+            for mode in ("gs", "mesh", "skel"):
+                png = urllib_request.urlopen(
+                    f"{base}/render?azimuth=30&mode={mode}", timeout=120
+                ).read()
+                assert png[:4] == b"\x89PNG"
+                imgs[mode] = png
+            # the three modes draw genuinely different frames
+            assert imgs["gs"] != imgs["mesh"] != imgs["skel"]
+        finally:
+            server.stop()
+
+    def test_drag_moves_joint_toward_target(self):
+        import json as _json
+
+        server, urllib_request = self._server()
+        try:
+            base = f"http://127.0.0.1:{server.port}"
+            q = "azimuth=0&elevation=15&distance=2.0"
+            j0 = _json.loads(
+                urllib_request.urlopen(f"{base}/joints?{q}", timeout=120)
+                .read()
+            )
+            assert j0["posable"] and len(j0["xy"]) == 22
+            # drag the left elbow (joint 18) 10px downward on screen
+            jd = j0["names"].index("left_elbow")
+            src = j0["xy"][jd]
+            dst = [src[0], src[1] + 10.0]
+            body = _json.dumps({
+                "joint": jd, "from": src, "to": dst,
+                "azimuth": 0.0, "elevation": 15.0, "distance": 2.0,
+            }).encode()
+            req = urllib_request.Request(f"{base}/drag", data=body)
+            st = _json.loads(
+                urllib_request.urlopen(req, timeout=120).read()
+            )
+            # the drag edited the PARENT bone (left_shoulder)
+            parent = j0["parents"][jd]
+            assert float(np.abs(np.asarray(
+                st["body_pose"][parent - 1]
+            )).max()) > 1e-3
+            j1 = _json.loads(
+                urllib_request.urlopen(f"{base}/joints?{q}", timeout=120)
+                .read()
+            )
+            d_before = np.hypot(src[0] - dst[0], src[1] - dst[1])
+            moved = j1["xy"][jd]
+            d_after = np.hypot(moved[0] - dst[0], moved[1] - dst[1])
+            assert d_after < d_before, (
+                f"drag did not move the joint toward the target "
+                f"({d_before:.1f} -> {d_after:.1f} px)"
+            )
+        finally:
+            server.stop()
