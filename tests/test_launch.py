@@ -293,3 +293,20 @@ class TestLaunchFamilies:
             "system.sh_degree=0",
         ])
         assert os.path.exists(os.path.join(out, "save", "last.ply"))
+
+
+def test_convert_colmap_requires_binary(tmp_path):
+    """scripts/convert_colmap.py mirrors the reference's external-COLMAP
+    pipeline (gaussiansplatting/convert.py); without the binary it must
+    exit with the actionable message, not a traceback."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "convert_colmap", "scripts/convert_colmap.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    with pytest.raises(SystemExit) as e:
+        mod.main(["-s", str(tmp_path),
+                  "--colmap_executable", "definitely-not-colmap"])
+    assert "COLMAP" in str(e.value)
