@@ -63,14 +63,14 @@ def main():
     iters = 10
 
     def render(p):
-        # pair_capacity 392704 keeps backward-page count + candidate
-        # bits within one u32, enabling the packed 2x1-operand
-        # carry-back sorts in the VJP (rasterize_tiled docstring);
-        # measured live pairs on this scene are ~260k, so ample slack
+        # measured live pairs on this scene are 237.6k (dual-class
+        # domain 462.5k); 327680 leaves 1.38x headroom with overflow 0
+        # (benchmarks/probe_r4_paircap.py) while trimming the pair
+        # gather + backward page buffers
         return rasterize_tiled(
             p["means"], p["scales"], p["quats"], p["sh"], p["opacities"],
             alive, camera, background, 0, cfg, tile_capacity=4096,
-            pair_capacity=392_704,
+            pair_capacity=327_680,
         )
 
     def loss(q):
