@@ -38,13 +38,38 @@ guidance = DualBranchGuidance(
     cfg=GuidanceConfig(latent_size=64, image_size=512),
 )
 skel = Skeleton(style="humansd", apose=True).load_smplx(toy_model()).scale(-10)
+ALIVE = int(os.environ.get("ALIVE", "100000"))  # scene density knob
+CAPACITY = int(os.environ.get("CAPACITY", str(1 << 17)))
+TILE_CAP = int(os.environ.get("TILE_CAP", "4096"))
 system = GaussianDreamerSystem(
-    GaussianDreamerConfig(capacity=1 << 17, pts_num=100_000),
+    GaussianDreamerConfig(capacity=CAPACITY, pts_num=100_000,
+                          tile_capacity=TILE_CAP),
     skel, guidance, None,
     camera_cfg=RandomCameraConfig(batch_size=8, height=1024, width=1024),
-    raster_cfg=RasterizeConfig(tile=32, max_tiles_per_gaussian=9, pair_factor=4),
+    raster_cfg=RasterizeConfig(tile=32, max_tiles_per_gaussian=4,
+                               pair_factor=4),
 )
 state = system.init_state(rng)
+if ALIVE > 100_000:
+    # densify the scene synthetically: replicate surface points with
+    # jitter (the post-densification regime the rehearsal reaches)
+    sc = state.scene
+    reps = -(-ALIVE // 100_000)
+    k = jax.random.PRNGKey(7)
+    idx = jnp.tile(jnp.arange(100_000), reps)[:ALIVE]
+    jit = jax.random.normal(k, (ALIVE, 3)) * 0.01
+    def grow(a):
+        return a.at[:ALIVE].set(a[idx])
+    sc = sc._replace(
+        means=sc.means.at[:ALIVE].set(sc.means[idx] + jit),
+        log_scales=grow(sc.log_scales), quats=grow(sc.quats),
+        sh_dc=grow(sc.sh_dc), sh_rest=grow(sc.sh_rest),
+        opacity_logits=grow(sc.opacity_logits),
+        alive=sc.alive.at[:ALIVE].set(True),
+    )
+    state = state._replace(scene=sc)
+print(f"alive={int(np.asarray(state.scene.alive.sum()))} "
+      f"capacity={CAPACITY} tile_cap={TILE_CAP}", flush=True)
 cams = sample_camera_batch(jax.random.PRNGKey(3), 0, system.camera_cfg)
 print("ready", flush=True)
 

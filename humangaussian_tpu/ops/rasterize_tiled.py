@@ -12,12 +12,19 @@ drives densification (gaussian_model.py:434-437).
 Architecture (static shapes end to end):
 
   project (pure JAX, ops/projection.py)
-    -> bin (ops/binning.py): ONE packed-key sort of the (tile, Gaussian)
-       candidate pairs; per-tile segments of the sorted order
+    -> bin (ops/binning.py, dual-class since round 4): one class-depth
+       sort compacts big splats (rect > 2x2) into a static prefix so the
+       candidate domain is ~2x smaller than side^2*N; then ONE 2-key
+       (tile, exact-depth-bits) sort with (candidate, gaussian-id)
+       payloads orders the candidate pairs; per-tile segments of the
+       sorted order via searchsorted
     -> pair_gather: ONE row gather producing the compacted, depth-ordered
        pair-feature array, stored FEATURE-MAJOR [16, P_cap] (NO
        [tiles, K] table — v1 materialized a 64x-oversized static table
-       in HBM; the pair array is sized by live pairs, not tiles x cap)
+       in HBM; the pair array is sized by live pairs, not tiles x cap.
+       A feature-payload variant with the rows riding the sort was
+       measured SLOWER in round 4: payloads cost ~0.4 ns/elem each,
+       benchmarks/probe_r4_sortcost.py)
     -> composite (THIS FILE): Pallas kernel, grid over tiles. Each tile
        program streams 256-lane windows of its contiguous pair segment
        from HBM with double-buffered async DMA (lane offsets
@@ -55,9 +62,10 @@ j-major CANDIDATE order by one of two statically-chosen paths
   via cummax) and carried back to candidate order by ONE 2-operand
   sort per camera, then a [P,16] row gather (~4.5 ns/index at <1M).
 - SORT (post-densification scale): XLA's gather degrades to ~23
-  ns/index once the page source falls out of cache, while payload
-  operands on sorts are nearly free (an 11-op sort is ~1.2x a 1-op
-  sort — measured round 3, benchmarks/probe_segsum.py). The kernel
+  ns/index once the page source falls out of cache, while the
+  multi-payload sort scales smoothly (~0.4 ns/elem/payload,
+  benchmarks/probe_r4_sortcost.py — NOT "nearly free" as round 3
+  claimed, but still the winner at 2M+ candidates). The kernel
   writes each pair's candidate key (+1; 0 = never written, keeping the
   buffer psum-mergeable across tile shards) into feature row _FCAND,
   including key-only blocks for budget-dropped and post-saturation
