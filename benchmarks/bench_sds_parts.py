@@ -57,7 +57,8 @@ if ALIVE > 100_000:
     reps = -(-ALIVE // 100_000)
     k = jax.random.PRNGKey(7)
     idx = jnp.tile(jnp.arange(100_000), reps)[:ALIVE]
-    jit = jax.random.normal(k, (ALIVE, 3)) * 0.01
+    jit = jax.random.normal(k, (ALIVE, 3)) * 0.25  # spread replicas: the
+    # rehearsal scene is SDS-scattered, not stacked
     def grow(a):
         return a.at[:ALIVE].set(a[idx])
     sc = sc._replace(
