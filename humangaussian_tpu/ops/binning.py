@@ -57,8 +57,6 @@ import jax.numpy as jnp
 
 from humangaussian_tpu.ops.projection import ProjectedGaussians, RasterizeConfig
 
-_CLASS_OFFSET = 1.0e6  # class-depth key: smalls sort after bigs
-
 
 def _tile_alpha_bound(mx, my, ca, cb, cc, tx, ty, tile):
     """Exact min of the conic quadratic Q(d) = ca*dx^2 + 2*cb*dx*dy +
@@ -148,12 +146,19 @@ def class_depth_order(visible, depths, big) -> jnp.ndarray:
 
     Depth inside the key only decides which Gaussians an `active_cap`
     truncation drops (deepest first); PAIR ordering uses exact depth
-    bits in the binning sort keys."""
+    bits in the binning sort keys.
+
+    2-key (class, depth) sort: an additive class offset on the depth
+    key (rounds 1-4) silently interleaved classes for metric depths
+    near the offset and quantized depth keys around it (round-4
+    advisor finding); an explicit integer class key has no such range
+    coupling at the cost of one extra [N] sort operand."""
     n = depths.shape[0]
-    key = jnp.where(big, depths, depths + _CLASS_OFFSET)
-    key = jnp.where(visible, key, jnp.inf)
-    _, order = jax.lax.sort(
-        (key, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=True
+    cls = jnp.where(big, 0, 1)
+    cls = jnp.where(visible, cls, 2).astype(jnp.int32)
+    _, _, order = jax.lax.sort(
+        (cls, depths, jnp.arange(n, dtype=jnp.int32)),
+        num_keys=2, is_stable=True,
     )
     return order
 

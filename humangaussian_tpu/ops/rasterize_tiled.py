@@ -546,18 +546,18 @@ def _bwd_kernel(
             yl = f[_FY : _FY + 1, :] - cy
             gx = xl * s0 - s1x  # sum_p dpow * dxv
             gy = yl * s0 - s1y  # sum_p dpow * dyv
-            if s.panel_math == "mxu":
-                # dopacity = sum_p dalpha_raw*expp = s0 / opa (dpow is
-                # dalpha_raw*opa*expp gated at power<0; under mxu panel
-                # math exact power==0 never survives rounding) — saves a
-                # [PIX,G] panel product + reduction
-                dopa_row = jnp.where(
-                    c["opa"] > 0.0, s0 / jnp.maximum(c["opa"], 1e-12), 0.0
-                )
-            else:
-                dopa_row = jnp.sum(
-                    dalpha_raw * c["expp"], axis=0, keepdims=True
-                )
+            # dopacity = sum_p dalpha_raw * expp, UNGATED by the
+            # power<0 gate (a pair whose power lands exactly at 0.0
+            # still passes the forward gate with expp=1 and contributes
+            # to the opacity gradient). The mxu path used to derive this
+            # as s0/opa from the gated dpow sum, silently dropping that
+            # boundary contribution (round-4 advisor finding); the exact
+            # panel reduction is correct in both modes and the extra
+            # [PIX,G] product is noise next to the mxu mode's own
+            # (measured-slower, non-default) panel matmuls.
+            dopa_row = jnp.sum(
+                dalpha_raw * c["expp"], axis=0, keepdims=True
+            )
             # masked lanes (beyond count / non-contributing) are exactly
             # zero here.
             wbuf[slot] = jnp.concatenate(
@@ -1133,7 +1133,12 @@ def _core_statics(n, h, w, cfg, tile_capacity, pair_capacity, interpret,
                                    pair_capacity)
     # the dual-class domain can undercut the requested budget; the pair
     # array slices the sorted order, so the budget can never exceed dom
-    p_cap = max(128, min(p_cap, dom) // 128 * 128)
+    if dom < 128:
+        raise ValueError(
+            f"candidate domain {dom} < 128 (n_cap {n_cap} too small for "
+            "the 128-lane pair layout); pad the scene capacity"
+        )
+    p_cap = min(max(128, min(p_cap, dom) // 128 * 128), dom)
     lanes = -(-(p_cap + 2 * _WIN) // 128) * 128
     c_cap = p_cap // 128 + num_tiles + 2  # +guard pages (incl. zero row)
     if cfg.bwd_routing == "auto":

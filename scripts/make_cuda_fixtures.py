@@ -33,7 +33,7 @@ expected outputs (from the capture):
   d_opacities [N], d_means2d [N,2]   (the densification grad tap)
 
 meta:
-  source     "oracle-f64" | "cuda-<version>"
+  source     "oracle-f32" | "cuda-<version>"
 
 ## Recording a real CUDA dump (run on a CUDA box with the reference env)
 
@@ -94,7 +94,7 @@ def make(name, n, h, w, seed, sh_degree=0, dist=3.0, fovy=0.8):
     g_depth = (rng.rand(h, w) * 1e-2).astype(np.float32)
     g_alpha = (rng.rand(h, w) - 0.5).astype(np.float32)
 
-    f64 = jnp.float32
+    dt = jnp.float32  # f32 end to end, like the CUDA kernel itself
     cam = camera_from_c2w(jnp.asarray(c2w), float(fovy), h, w)
     cfg = RasterizeConfig(tile=32, max_tiles_per_gaussian=16)
     alive = jnp.ones((n,), bool)
@@ -102,15 +102,15 @@ def make(name, n, h, w, seed, sh_degree=0, dist=3.0, fovy=0.8):
     def render(p):
         return rasterize_reference(
             p["means"], p["scales"], p["quats"], p["sh"], p["opacities"],
-            alive, cam, jnp.asarray(bg, f64), sh_degree, cfg,
+            alive, cam, jnp.asarray(bg, dt), sh_degree, cfg,
             means2d_offset=p["means2d_offset"],
         )
 
     params = dict(
-        means=jnp.asarray(means, f64), scales=jnp.asarray(scales, f64),
-        quats=jnp.asarray(quats, f64), sh=jnp.asarray(sh, f64),
-        opacities=jnp.asarray(opas, f64),
-        means2d_offset=jnp.zeros((n, 2), f64),
+        means=jnp.asarray(means, dt), scales=jnp.asarray(scales, dt),
+        quats=jnp.asarray(quats, dt), sh=jnp.asarray(sh, dt),
+        opacities=jnp.asarray(opas, dt),
+        means2d_offset=jnp.zeros((n, 2), dt),
     )
 
     def loss(p):

@@ -10,9 +10,10 @@ CUDA dump is drop-in: put the npz in tests/fixtures/cuda/ and this test
 picks it up.
 
 Tolerances (NUMERICS.md): forward image/alpha 2e-6 absolute, depth
-2e-5; gradients 3e-5 of each tensor's max-|grad| scale (the level the
-CUDA backward's nondeterministic atomicAdd accumulation itself moves
-between runs).
+2e-5; gradients 1e-4 of each tensor's max-|grad| scale (GRAD_RTOL —
+the worst measured chunk-boundary reassociation tail is ~6e-5, and the
+CUDA backward's nondeterministic atomicAdd accumulation moves between
+runs at the same order).
 """
 import glob
 import os
