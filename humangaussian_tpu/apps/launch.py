@@ -106,7 +106,7 @@ def build_system(cfg: dict):
     g_raw = dict(sys_cfg.get("guidance", {}))
     arch = g_raw.get("arch", "sd2-base")  # "tiny" for smoke tests
     if gtype == "deep-floyd":
-        guidance = _build_deep_floyd(g_raw, arch, take)
+        guidance = _build_deep_floyd(g_raw, arch, take, embeddings)
         gd_cfg0 = take(GaussianDreamerConfig, sys_cfg)
         return GaussianDreamerSystem(
             gd_cfg0, skel, guidance, embeddings,
@@ -540,10 +540,15 @@ if __name__ == "__main__":
     main()
 
 
-def _build_deep_floyd(g_raw: dict, arch: str, take):
+def _build_deep_floyd(g_raw: dict, arch: str, take, embeddings=None):
     """system.guidance.type == "deep-floyd": pixel-space IF guidance
     wrapped in the system-call adapter (reference deep_floyd_guidance.py;
-    weights live in the checkpoint's `unet/` subfolder)."""
+    weights live in the checkpoint's `unet/` subfolder).
+
+    `embeddings` (the prompt processor's PromptEmbeddings) rides into
+    the adapter so `system.guidance.use_perp_neg=true` can rebuild the
+    4-way Perp-Neg CFG per camera (reference
+    prompt_processors/base.py:85-170 via deep_floyd_guidance.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -581,5 +586,6 @@ def _build_deep_floyd(g_raw: dict, arch: str, take):
             unet_params=unet_params,
             schedule=if_schedule(),
             cfg=take(DeepFloydConfig, g_raw),
-        )
+        ),
+        embeddings=embeddings,
     )

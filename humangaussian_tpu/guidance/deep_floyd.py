@@ -186,9 +186,17 @@ class DeepFloydSystemGuidance:
     pixel-space single-stream model: the pose/depth conditioning images
     are ignored, and the [cond|neg|null] embedding layout's first two
     segments drive the 2-way text-as-base CFG
-    (deep_floyd_guidance.py:210-216)."""
+    (deep_floyd_guidance.py:210-216).
+
+    With `df.cfg.use_perp_neg` (and `embeddings` supplied — the launcher
+    passes the prompt processor's PromptEmbeddings), the 4-way Perp-Neg
+    CFG replaces the 2-way path, built from the per-camera
+    elevation/azimuth the system forwards (the reference reaches this
+    via prompt_utils.get_text_embeddings_perp_neg,
+    deep_floyd_guidance.py:167-208 + prompt_processors/base.py:85-170)."""
 
     df: DeepFloydGuidance
+    embeddings: "PromptEmbeddings | None" = None
 
     @property
     def schedule(self) -> DiffusionSchedule:
@@ -196,17 +204,32 @@ class DeepFloydSystemGuidance:
         return self.df.schedule
 
     def __call__(self, pose_image, rgb, depth, text_embeddings, t, rng,
-                 grad_clip_val=None, sample_idx=None):
+                 grad_clip_val=None, sample_idx=None, elevation=None,
+                 azimuth=None, camera_distances=None):
         b = rgb.shape[0]
         if sample_idx is None:
             sample_idx = jnp.arange(b, dtype=jnp.int32)
         s = self.df.cfg.image_size
         latents = jax.image.resize(rgb * 2.0 - 1.0, (b, s, s, 3), "bilinear")
         noise = per_sample_normal(rng, sample_idx, latents.shape)
-        grad = self.df.compute_grad_sds(
-            jax.lax.stop_gradient(latents), t, text_embeddings[: 2 * b],
-            noise,
-        )
+        if self.df.cfg.use_perp_neg:
+            if self.embeddings is None or azimuth is None:
+                raise ValueError(
+                    "use_perp_neg on the system path needs the "
+                    "PromptEmbeddings handle and per-camera "
+                    "elevation/azimuth (launcher wires both)"
+                )
+            text4, neg_w = get_text_embeddings_perp_neg(
+                self.embeddings, elevation, azimuth, camera_distances
+            )
+            grad = self.df.compute_grad_sds_perp_neg(
+                jax.lax.stop_gradient(latents), t, text4, neg_w, noise
+            )
+        else:
+            grad = self.df.compute_grad_sds(
+                jax.lax.stop_gradient(latents), t, text_embeddings[: 2 * b],
+                noise,
+            )
         grad = jnp.nan_to_num(grad)
         if grad_clip_val is not None:
             grad = jnp.clip(grad, -grad_clip_val, grad_clip_val)

@@ -404,6 +404,12 @@ class DualBranchGuidance:
         rng,
         grad_clip_val=None,
         sample_idx=None,  # [B] global sample ids -> shard-invariant noise
+        elevation=None,  # accepted for guidance-protocol uniformity:
+        azimuth=None,  # the dual-branch pipeline takes its view
+        camera_distances=None,  # dependence pre-baked into text_embeddings
+        #     (the system selects [cond|neg|null] per camera), matching
+        #     the reference dual_branch_guidance.py which never consumes
+        #     raw angles; Perp-Neg consumers (deep-floyd/SD) use them
     ):
         depths = list(depth) if isinstance(depth, (list, tuple)) else [depth]
         nb = self.branch_num

@@ -268,6 +268,12 @@ class GaussianDreamerSystem:
             pose, images, depth3, text, t, key,
             grad_clip_val=C_schedule(cfg.grad_clip, step),
             sample_idx=sample_idx,
+            # raw camera angles ride along for guidances that rebuild
+            # their own CFG layout per camera (Perp-Neg on the
+            # deep-floyd path); the dual-branch guidance ignores them
+            elevation=cameras.elevation,
+            azimuth=cameras.azimuth,
+            camera_distances=cameras.camera_distances,
         )
         # guidance divides its sum-loss by local b; renormalize to global
         loss_sds = g_out["loss_sds"] * (local_b / global_batch)

@@ -209,6 +209,25 @@ class TestLaunchFamilies:
 
         assert glob.glob(os.path.join(out, "save", "orbit.png"))
 
+    def test_dreamfusion_perp_neg_cli(self, tmp_path):
+        """system.guidance.use_perp_neg=true reaches the 4-way Perp-Neg
+        CFG from the CLI (reference enables it per config through
+        prompt_processors/base.py:85-170 +
+        stable_diffusion_guidance.py:185-228)."""
+        out = self._run_main([
+            "--config", "configs/dreamfusion.yaml", "--train",
+            f"exp_root_dir={tmp_path}/out",
+            "trainer.max_steps=2",
+            "data.batch_size=1", "data.height=16", "data.width=16",
+            "data.eval_height=16",
+            "system.guidance.use_perp_neg=true",
+            "system.renderer.num_samples_per_ray=8",
+            "system.geometry.n_neurons=8",
+            "system.geometry.hash_cfg.n_levels=2",
+            "system.geometry.hash_cfg.log2_hashmap_size=8",
+        ])
+        assert os.path.isdir(out)
+
     def _blender_scene(self, tmp):
         from PIL import Image
 

@@ -88,6 +88,17 @@ class TestT5Encode:
 
 class TestDeepFloydLaunch:
     def test_build_system_deep_floyd(self, tmp_path, monkeypatch):
+        self._run(tmp_path, monkeypatch, use_perp_neg=False)
+
+    def test_build_system_deep_floyd_perp_neg(self, tmp_path, monkeypatch):
+        """system.guidance.use_perp_neg=true is reachable from the
+        public config surface: the launcher hands the PromptEmbeddings
+        to the system adapter, the system forwards per-camera
+        elevation/azimuth, and the 4-way Perp-Neg CFG runs inside the
+        jitted train step (reference prompt_processors/base.py:85-170)."""
+        self._run(tmp_path, monkeypatch, use_perp_neg=True)
+
+    def _run(self, tmp_path, monkeypatch, use_perp_neg):
         """system.guidance.type=deep-floyd builds a trainable system:
         tiny IF UNet, T5 default prompt encoder, pixel-space SDS step
         with finite loss. The torch->flax weight conversion boundary is
@@ -166,6 +177,7 @@ class TestDeepFloydLaunch:
                     "arch": "tiny",
                     "model_key": os.path.join(tmp, "if_model"),
                     "guidance_scale": 20.0,
+                    "use_perp_neg": use_perp_neg,
                 },
             },
             "data": {"batch_size": 2, "height": 64, "width": 64},
@@ -176,6 +188,10 @@ class TestDeepFloydLaunch:
             "unet/diffusion_pytorch_model.bin"
         )
         assert captured["num_levels"] == 2
+
+        if use_perp_neg:
+            assert system.guidance.df.cfg.use_perp_neg
+            assert system.guidance.embeddings is not None
 
         state = system.init_state(jax.random.PRNGKey(0))
         state, metrics = system.train_step(state)
