@@ -60,7 +60,7 @@ def main():
         opacities=jnp.asarray((1 / (1 + np.exp(-rng.randn(n)))).astype(np.float32)),
     )
     alive = jnp.ones((n,), bool)
-    iters = 10
+    iters = 40
 
     def render(p):
         # measured live pairs on this scene are 237.6k (dual-class
@@ -77,13 +77,20 @@ def main():
         o = render(q)
         return jnp.sum(o["image"]) + jnp.sum(o["depth"]) * 1e-3 + jnp.sum(o["alpha"])
 
+    # chains RETURN A SCALAR COMPUTED INSIDE THE JIT: round-5 floor
+    # measurement (benchmarks/probe_r5_proj.py) showed the old
+    # fetch-a-leaf pattern cost 2-3 extra relay round-trips (~29 ms),
+    # inflating every per-iter number by RT/iters (~2.9 ms at 10
+    # iters). One traced scalar out = one transfer; still a true sync
+    # (the scalar depends on the whole chain).
     @jax.jit
     def fb_chain(p):
         def body(i, q):
             g = jax.grad(loss)(q)
             return jax.tree.map(lambda a, b: a + b * 1e-12, q, g)
 
-        return jax.lax.fori_loop(0, iters, body, p)
+        out = jax.lax.fori_loop(0, iters, body, p)
+        return jnp.sum(out["means"][0])
 
     @jax.jit
     def fwd_chain(p):
@@ -91,18 +98,18 @@ def main():
             img = render(q)["image"]
             return dict(q, means=q["means"] + img[0, 0, 0] * 1e-12)
 
-        return jax.lax.fori_loop(0, iters, body, p)
+        out = jax.lax.fori_loop(0, iters, body, p)
+        return jnp.sum(out["means"][0])
 
     @jax.jit
     def fwdbwd_single(p):
-        return jax.grad(loss)(p)["means"]
+        return jnp.sum(jax.grad(loss)(p)["means"][0])
 
     def fetch(out):
-        # host fetch of one scalar: the only TRUE device sync through
-        # the axon relay (block_until_ready can return before the
-        # device finishes)
-        leaf = jax.tree.leaves(out)[0]
-        return float(jnp.ravel(leaf)[0])
+        # host fetch of the traced scalar: the only TRUE device sync
+        # through the axon relay (block_until_ready can return before
+        # the device finishes)
+        return float(out)
 
     def time_chain(f):
         fetch(f(params))

@@ -35,7 +35,7 @@ rt = importlib.import_module("humangaussian_tpu.ops.rasterize_tiled")
 
 N = int(os.environ.get("N", "100000"))
 H = W = 1024
-ITERS = int(os.environ.get("ITERS", "10"))
+ITERS = int(os.environ.get("ITERS", "25"))
 TILE = int(os.environ.get("TILE", "32"))
 MTPG = int(os.environ.get("MTPG", "9"))
 PC = int(os.environ.get("PC", "327680"))
@@ -59,7 +59,7 @@ TC = 4096
 cs = rt._core_statics(N, H, W, cfg, TC, PC, False)
 print(f"tile={TILE} mtpg={MTPG} pc={cs.p_cap} lanes={cs.lanes} "
       f"c_cap={cs.c_cap} num_tiles={cs.num_tiles} dom={cs.dom} "
-      f"b_cap={cs.b_cap} sort_routing={cs.sort_routing}", flush=True)
+      f"blocks={cs.blocks} sort_routing={cs.sort_routing}", flush=True)
 
 
 def fetch(x):
@@ -67,7 +67,11 @@ def fetch(x):
 
 
 def chain(name, fn, x0):
-    f = jax.jit(lambda x: jax.lax.fori_loop(0, ITERS, lambda i, a: fn(a), x))
+    # scalar returned from INSIDE the jit: one relay transfer (the old
+    # fetch-a-leaf pattern cost 2-3 round-trips ~ 2.9 ms/iter at 10
+    # iters, probe_r5_proj.py floor measurement)
+    f = jax.jit(lambda x: jnp.sum(
+        jax.lax.fori_loop(0, ITERS, lambda i, a: fn(a), x)[0]))
     fetch(f(x0))
     best = np.inf
     for _ in range(3):
@@ -76,6 +80,9 @@ def chain(name, fn, x0):
         best = min(best, (time.perf_counter() - t0) / ITERS)
     print(f"{name}: {best*1e3:.2f} ms", flush=True)
     return best
+
+
+chain("harness floor (1 madd)", lambda m: m * 1.0000001 + 1e-12, means)
 
 
 def proj_only(m):

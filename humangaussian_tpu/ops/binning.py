@@ -11,20 +11,25 @@ has a large fixed component plus ~0.1-0.4 ms per payload operand per
 million elements (benchmarks/probe_r4_sortcost.py), and scalar gathers
 are index-serialized. The design accounts for both:
 
-1. ONE class-depth sort of the N (padded) Gaussians: Gaussians whose
-   tile rect exceeds 2x2 ("big", ~4% of a trained scene) sort FIRST,
-   each class internally by view depth, invisible last. This compacts
-   the big class into a static `big_capacity` prefix so the candidate
-   domain is sized DUAL-CLASS:
+1. ONE class-depth sort of the N (padded) Gaussians into a CHAIN of
+   shape classes — (side,side) "big" when rect_side > 2, then (2,2),
+   (2,1), (1,1) (round 5; rounds 1-4 used two classes) — each class
+   internally by view depth, invisible last. Each class occupies a
+   static block of positions, so the candidate domain is
 
-       dom = side^2 * B_CAP  +  2x2 * (n_cap - B_CAP)
+       dom = sum_k  w_k * h_k * cap_k
 
-   instead of side^2 * n_cap — a 2x shrink of every domain-proportional
-   stage (this sort, the backward carry sort, the backward page-row
-   gather) at rect_side=3. Bigs beyond B_CAP are DEMOTED to the 2x2
-   class (they keep their upper-left 2x2 tiles; lost tiles are counted
-   in `overflow`) — with the default B_CAP this never fires on
-   reference-scale scenes.
+   instead of side^2 * n_cap. The chain property (every block's shape
+   CONTAINS every later class's shape) makes under-subscription
+   lossless: when a class has fewer members than its block, the block
+   tail holds the next class's shallowest members, expanded with a
+   superset shape (wasted domain only). Loss occurs only when a class
+   overflows its cumulative cap — the spilled Gaussians keep the
+   upper-left (w,h) tiles of the NEXT block's shape; clipped tiles are
+   counted in `overflow`. With the default caps this never fires on
+   reference-scale scenes. Invisible/padded Gaussians sort last and
+   land in the (1,1) tail — 1 candidate slot each instead of 4, which
+   is what keeps padded-capacity scenes cheap.
 2. expand each class block into candidate (tile, depth, cand, gid)
    tuples; candidates outside the rect, culled by the exact
    tile-ellipse alpha bound (`_tile_alpha_bound`, bit-exact vs the
@@ -37,12 +42,11 @@ are index-serialized. The design accounts for both:
    needed, which is what frees the class sort to be class-major.
 4. per-tile segment starts via searchsorted over the sorted tile ids.
 
-`cand` is the J-MAJOR TWO-BLOCK candidate index
-    L block: j * B_CAP + rank            (j < side^2, rank < B_CAP)
-    S block: side^2*B_CAP + j*nS + (rank-B_CAP)   (j < 4)
+`cand` is the J-MAJOR PER-BLOCK candidate index
+    block k: off_k + j * cap_k + (rank - start_k)   (j < w_k * h_k)
 — every candidate (valid or not) appears exactly once, so the
 rasterizer VJP can route gradients to candidate order and reduce with
-two static reshapes + a concat (no ragged segment sums).
+one static reshape-sum per block (no ragged segment sums).
 
 Pairs beyond K for a given tile are dropped deepest-first (they sit
 behind K closer Gaussians; with K=4096 and front-to-back saturation this
@@ -105,12 +109,12 @@ def _tile_alpha_bound(mx, my, ca, cb, cc, tx, ty, tile):
 class PairLists(NamedTuple):
     """Sorted pair structure (all static shapes)."""
 
-    order: jnp.ndarray  # [N] Gaussian index by (class, depth) — bigs
-    #     first, each class by view depth, invisible last
+    order: jnp.ndarray  # [N] Gaussian index by (class, depth) — widest
+    #     class first, each class by view depth, invisible last
     sorted_gid: jnp.ndarray  # [P] ORIGINAL Gaussian index of each sorted
     #     pair (sort payload; consumers gather feature rows by gid)
     sorted_tile: jnp.ndarray  # [P] int32 tile id (sentinel = num_tiles)
-    cand: jnp.ndarray  # [P] int32 j-major two-block candidate index of
+    cand: jnp.ndarray  # [P] int32 j-major per-block candidate index of
     #     each sorted pair (a permutation of [0, dom))
     starts: jnp.ndarray  # [T+1] segment starts into the sorted pairs
     counts: jnp.ndarray  # [T] live pairs per tile (capped at K)
@@ -118,7 +122,7 @@ class PairLists(NamedTuple):
     #     only (>= counts; includes K-cap-dropped pairs — the backward
     #     sort-routing covers these positions with zero-grad keys)
     overflow: jnp.ndarray  # [] pairs dropped (K cap + budget + demotion)
-    b_cap: int  # static big-class capacity actually used
+    blocks: tuple  # static ((w, h, cap), ...) class-block layout
     dom: int  # static candidate domain size
 
 
@@ -140,9 +144,52 @@ def resolve_big_capacity(n_cap: int, cfg: RasterizeConfig) -> int:
     return min(n_cap, max(4096, n_cap // 8))
 
 
-def class_depth_order(visible, depths, big) -> jnp.ndarray:
-    """Indices sorted by (class, depth): big Gaussians first (each class
-    internally by view depth), invisible last; ties by index.
+def resolve_class_blocks(n_cap: int, cfg: RasterizeConfig) -> tuple:
+    """Static ((w, h, cap), ...) class-block chain (module docstring).
+
+    The chain is (side,side) [if side > 2] -> (2,2) -> (2,1) -> (1,1);
+    caps for (2,2)/(2,1) come from cfg.class_fracs as fractions of the
+    non-big remainder, (1,1) takes the rest. class_fracs=None keeps the
+    rounds-1-4 dual-class layout ((2,2) takes the whole remainder).
+    Blocks round up to multiples of 128 lanes-friendliness not needed —
+    candidate arrays are flat — but zero-size blocks are dropped."""
+    side = cfg.rect_side
+    if side <= 1:
+        return ((1, 1, n_cap),)
+    blocks = []
+    rem = n_cap
+    if side > 2:
+        b = resolve_big_capacity(n_cap, cfg)
+        blocks.append((side, side, b))
+        rem -= b
+    if cfg.class_fracs is None:
+        blocks.append((2, 2, rem))
+    else:
+        f22, f21 = cfg.class_fracs
+        m = min(rem, int(round(rem * f22)))
+        r = min(rem - m, int(round(rem * f21)))
+        s = rem - m - r
+        blocks += [(2, 2, m), (2, 1, r), (1, 1, s)]
+    return tuple((w, h, c) for (w, h, c) in blocks if c > 0)
+
+
+def classify(visible, rect, blocks) -> jnp.ndarray:
+    """Per-Gaussian class index: the SMALLEST chain block whose shape
+    contains (rect_w, rect_h); invisible get len(blocks) (sorts last)."""
+    w = rect[:, 2] - rect[:, 0]
+    h = rect[:, 3] - rect[:, 1]
+    cls = jnp.zeros(w.shape, jnp.int32)
+    for k, (bw, bh, _c) in enumerate(blocks):
+        if k == 0:
+            continue
+        fits = (w <= bw) & (h <= bh)
+        cls = jnp.where(fits, k, cls)
+    return jnp.where(visible, cls, len(blocks))
+
+
+def class_depth_order(visible, depths, cls) -> jnp.ndarray:
+    """Indices sorted by (class, depth): widest class first, each class
+    internally by view depth, invisible last; ties by index.
 
     Depth inside the key only decides which Gaussians an `active_cap`
     truncation drops (deepest first); PAIR ordering uses exact depth
@@ -154,8 +201,6 @@ def class_depth_order(visible, depths, big) -> jnp.ndarray:
     advisor finding); an explicit integer class key has no such range
     coupling at the cost of one extra [N] sort operand."""
     n = depths.shape[0]
-    cls = jnp.where(big, 0, 1)
-    cls = jnp.where(visible, cls, 2).astype(jnp.int32)
     _, _, order = jax.lax.sort(
         (cls, depths, jnp.arange(n, dtype=jnp.int32)),
         num_keys=2, is_stable=True,
@@ -175,15 +220,16 @@ def depth_order(visible: jnp.ndarray, depths: jnp.ndarray) -> jnp.ndarray:
     return order
 
 
-def _expand_block(rect, m2d, conic, opa, vis, side, tiles_x, tiles_y, cfg):
+def _expand_block(rect, m2d, conic, opa, vis, shape, tiles_x, tiles_y, cfg):
     """Expand one class block into candidate (tile, valid) arrays laid
-    out [side, side, block] — the Gaussian axis minor (lane) so every
+    out [h, w, block] — the Gaussian axis minor (lane) so every
     intermediate pads only block -> ceil128(block); the natural
-    [block,s,s] layout would pad (s,s) to (8,128) tiles (~400 MB per
+    [block,h,w] layout would pad (h,w) to (8,128) tiles (~400 MB per
     intermediate at 100k)."""
+    bw, bh = shape
     num_tiles = tiles_x * tiles_y
-    dy = jnp.arange(side, dtype=jnp.int32)[:, None, None]  # [s,1,1]
-    dx = jnp.arange(side, dtype=jnp.int32)[None, :, None]  # [1,s,1]
+    dy = jnp.arange(bh, dtype=jnp.int32)[:, None, None]  # [h,1,1]
+    dx = jnp.arange(bw, dtype=jnp.int32)[None, :, None]  # [1,w,1]
     ty = rect[None, None, :, 1] + dy  # [s,s,b]
     tx = rect[None, None, :, 0] + dx
     in_rect = (ty < rect[None, None, :, 3]) & (tx < rect[None, None, :, 2])
@@ -235,18 +281,13 @@ def build_pair_lists(
     n = prims.depths.shape[0]
     n_cap = n if active_cap is None else min(active_cap, n)
     num_tiles = tiles_x * tiles_y
-    side = cfg.rect_side
-    b_cap = resolve_big_capacity(n_cap, cfg)
-    s_side = min(side, 2)
-    n_s = n_cap - b_cap
-    dom = side * side * b_cap + s_side * s_side * n_s
+    blocks = resolve_class_blocks(n_cap, cfg)
+    dom = sum(w * h * c for (w, h, c) in blocks)
     if num_tiles >= (1 << 31) - 1:
         raise ValueError(f"{num_tiles} tiles overflow int32 tile keys")
 
-    rect_w = prims.rect[:, 2] - prims.rect[:, 0]
-    rect_h = prims.rect[:, 3] - prims.rect[:, 1]
-    big = prims.visible & ((rect_w > s_side) | (rect_h > s_side))
-    order = class_depth_order(prims.visible, prims.depths, big)
+    cls = classify(prims.visible, prims.rect, blocks)
+    order = class_depth_order(prims.visible, prims.depths, cls)
     order_c = order[:n_cap]
     rect = prims.rect[order_c]  # [n_cap,4] x0,y0,x1,y1 (tile units)
     vis = prims.visible[order_c]
@@ -261,48 +302,36 @@ def build_pair_lists(
     else:
         conic = m2d = opa = None
 
-    def block(sl, side_b):
+    def expand(sl, shape):
         return _expand_block(
             rect[sl],
             m2d[sl] if cfg.tight_cull else None,
             conic[sl] if cfg.tight_cull else None,
             opa[sl] if cfg.tight_cull else None,
-            vis[sl], side_b, tiles_x, tiles_y, cfg,
+            vis[sl], shape, tiles_x, tiles_y, cfg,
         )
 
     parts_tile, parts_cand, parts_gid, parts_depth = [], [], [], []
-    if b_cap > 0:
-        tl = block(slice(0, b_cap), side)  # [side, side, b_cap]
+    start = 0
+    off = 0
+    for bw, bh, cap in blocks:
+        sl = slice(start, start + cap)
+        tl = expand(sl, (bw, bh))  # [bh, bw, cap]
         jl = (
-            jnp.arange(side, dtype=jnp.int32)[:, None, None] * side
-            + jnp.arange(side, dtype=jnp.int32)[None, :, None]
+            jnp.arange(bh, dtype=jnp.int32)[:, None, None] * bw
+            + jnp.arange(bw, dtype=jnp.int32)[None, :, None]
         )
-        cl = jl * b_cap + jnp.arange(b_cap, dtype=jnp.int32)[None, None, :]
+        cl = off + jl * cap + jnp.arange(cap, dtype=jnp.int32)[None, None, :]
         parts_tile.append(tl.reshape(-1))
         parts_cand.append(jnp.broadcast_to(cl, tl.shape).reshape(-1))
         parts_gid.append(
-            jnp.broadcast_to(order_c[None, None, :b_cap], tl.shape).reshape(-1)
+            jnp.broadcast_to(order_c[None, None, sl], tl.shape).reshape(-1)
         )
         parts_depth.append(
-            jnp.broadcast_to(depth[None, None, :b_cap], tl.shape).reshape(-1)
+            jnp.broadcast_to(depth[None, None, sl], tl.shape).reshape(-1)
         )
-    if n_s > 0:
-        ts = block(slice(b_cap, n_cap), s_side)  # [2, 2, n_s]
-        js = (
-            jnp.arange(s_side, dtype=jnp.int32)[:, None, None] * s_side
-            + jnp.arange(s_side, dtype=jnp.int32)[None, :, None]
-        )
-        cshift = side * side * b_cap
-        csl = (cshift + js * n_s
-               + jnp.arange(n_s, dtype=jnp.int32)[None, None, :])
-        parts_tile.append(ts.reshape(-1))
-        parts_cand.append(jnp.broadcast_to(csl, ts.shape).reshape(-1))
-        parts_gid.append(
-            jnp.broadcast_to(order_c[None, None, b_cap:], ts.shape).reshape(-1)
-        )
-        parts_depth.append(
-            jnp.broadcast_to(depth[None, None, b_cap:], ts.shape).reshape(-1)
-        )
+        start += cap
+        off += bw * bh * cap
     tile_flat = jnp.concatenate(parts_tile)
     cand_flat = jnp.concatenate(parts_cand)
     gid_flat = jnp.concatenate(parts_gid)
@@ -327,13 +356,25 @@ def build_pair_lists(
         budget = pair_capacity - jnp.minimum(starts[:-1], pair_capacity)
         counts = jnp.minimum(counts, budget)
         lens = jnp.minimum(lens, budget)
-    # demoted bigs (ranks past b_cap) keep only their upper-left 2x2
-    # tiles; count the clipped-away rect area
-    if b_cap > 0 and n_s > 0:
-        wv = jnp.minimum(rect[b_cap:, 2] - rect[b_cap:, 0], side)
-        hv = jnp.minimum(rect[b_cap:, 3] - rect[b_cap:, 1], side)
-        lost = wv * hv - jnp.minimum(wv, s_side) * jnp.minimum(hv, s_side)
-        demoted_lost = jnp.sum(jnp.where(vis[b_cap:], lost, 0))
+    # class-cap spill: a Gaussian whose position landed in a narrower
+    # block than its class keeps only the upper-left (block) tiles of
+    # its rect; count the clipped-away area (module docstring — this is
+    # zero unless a class overflows its cumulative cap)
+    if len(blocks) > 1:
+        side = blocks[0][0]
+        wv = jnp.minimum(rect[:, 2] - rect[:, 0], side)
+        hv = jnp.minimum(rect[:, 3] - rect[:, 1], side)
+        covered = jnp.zeros((n_cap,), jnp.int32)
+        start = 0
+        for bw, bh, cap in blocks:
+            cov_b = jnp.minimum(wv, bw) * jnp.minimum(hv, bh)
+            pos_in = (jnp.arange(n_cap) >= start) & (
+                jnp.arange(n_cap) < start + cap
+            )
+            covered = jnp.where(pos_in, cov_b, covered)
+            start += cap
+        lost = wv * hv - covered
+        demoted_lost = jnp.sum(jnp.where(vis, jnp.maximum(lost, 0), 0))
     else:
         demoted_lost = jnp.int32(0)
     overflow = jnp.sum(seg_len - counts) + cap_dropped + demoted_lost
@@ -346,7 +387,7 @@ def build_pair_lists(
         counts=counts,
         lens=lens,
         overflow=overflow,
-        b_cap=b_cap,
+        blocks=blocks,
         dom=dom,
     )
 

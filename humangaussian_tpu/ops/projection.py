@@ -64,8 +64,15 @@ class RasterizeConfig:
     transmittance_eps: float = 1e-4  # early-stop threshold on T
     tight_cull: bool = True  # exact tile-ellipse candidate cull (binning)
     big_capacity: int | None = None  # static big-class (rect > 2x2)
-    #   capacity for the dual-class candidate domain (binning module
+    #   capacity for the class-chain candidate domain (binning module
     #   docstring); None = auto max(4096, n_cap // 8)
+    class_fracs: tuple | None = (0.5625, 0.25)  # fractions of the non-big
+    #   position budget reserved for the (2,2) and (2,1) class blocks;
+    #   (1,1) takes the rest. The chain only LOSES pairs when a class
+    #   overflows its cumulative cap (counted in `overflow`); smaller
+    #   fractions shrink every candidate-domain-proportional stage
+    #   (binning sort, backward routing, reduction). None = the
+    #   rounds-1-4 dual-class layout ((2,2) takes the whole remainder).
     bwd_routing: str = "auto"  # "auto" | "sort" | "gather" (see
     #   rasterize_tiled._render_core_bwd: measured crossover ~1.3M
     #   candidates — gather wins small, sort wins post-densification)
@@ -136,21 +143,32 @@ def project_gaussians(
     focal_y = camera.focal_y
 
     # --- view/clip transforms (row-vector convention) -----------------
-    ones = jnp.ones((n, 1), f32)
-    hom = jnp.concatenate([means.astype(f32), ones], axis=1)
-    p_view = hom @ view[:, :3]  # [N,3]
-    p_hom = hom @ full_proj  # [N,4]
-    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
-    p_proj = p_hom[:, :3] * p_w[:, None]
+    # unrolled column madds, NOT [N,4]x[4,4] matmuls: a K=4 matmul pads
+    # the [N,4] operand's lane dim 4 -> 128 (32x HBM) and runs the MXU
+    # at 3% utilization; 12 fused VPU madds on [N] columns are ~free
+    # (measured round 5: projection 2.5 -> ~1 ms at 100k)
+    mx_, my_, mz_ = means[:, 0].astype(f32), means[:, 1].astype(f32), \
+        means[:, 2].astype(f32)
 
-    depth = p_view[:, 2]
+    def xform(mat, j, w_row=3):
+        return (mx_ * mat[0, j] + my_ * mat[1, j] + mz_ * mat[2, j]
+                + mat[w_row, j])
+
+    pv_x = xform(view, 0)
+    pv_y = xform(view, 1)
+    depth = xform(view, 2)
+    p_w = 1.0 / (xform(full_proj, 3) + 1e-7)
+    proj_x = xform(full_proj, 0) * p_w
+    proj_y = xform(full_proj, 1) * p_w
+
     in_front = depth > cfg.near
 
     # --- 3D covariance -> EWA 2D covariance (fully elementwise) -------
     # quat -> rotation entries as [N] columns (normalized, w-x-y-z like
     # the reference's build_rotation, general_utils.py:78-98)
-    qn = quats / (jnp.linalg.norm(quats, axis=-1, keepdims=True) + 1e-12)
-    qw, qx, qy, qz = qn[:, 0], qn[:, 1], qn[:, 2], qn[:, 3]
+    q0, q1, q2, q3 = quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3]
+    qnrm = jnp.sqrt(q0 * q0 + q1 * q1 + q2 * q2 + q3 * q3) + 1e-12
+    qw, qx, qy, qz = q0 / qnrm, q1 / qnrm, q2 / qnrm, q3 / qnrm
     r00 = 1 - 2 * (qy * qy + qz * qz)
     r01 = 2 * (qx * qy - qw * qz)
     r02 = 2 * (qx * qz + qw * qy)
@@ -177,8 +195,8 @@ def project_gaussians(
     limx = 1.3 * camera.tan_fovx
     limy = 1.3 * camera.tan_fovy
     z_safe = jnp.where(in_front, depth, 1.0)
-    txtz = jnp.clip(p_view[:, 0] / z_safe, -limx, limx) * z_safe
-    tytz = jnp.clip(p_view[:, 1] / z_safe, -limy, limy) * z_safe
+    txtz = jnp.clip(pv_x / z_safe, -limx, limx) * z_safe
+    tytz = jnp.clip(pv_y / z_safe, -limy, limy) * z_safe
 
     inv_z = 1.0 / z_safe
     inv_z2 = inv_z * inv_z
@@ -220,8 +238,8 @@ def project_gaussians(
     # --- screen position (ndc2Pix) -------------------------------------
     mean2d = jnp.stack(
         [
-            ((p_proj[:, 0] + 1.0) * w - 1.0) * 0.5,
-            ((p_proj[:, 1] + 1.0) * h - 1.0) * 0.5,
+            ((proj_x + 1.0) * w - 1.0) * 0.5,
+            ((proj_y + 1.0) * h - 1.0) * 0.5,
         ],
         axis=-1,
     )
@@ -229,10 +247,27 @@ def project_gaussians(
         mean2d = mean2d + means2d_offset
 
     # --- tile rectangle (stop-grad integers) ---------------------------
-    # per-axis 3-sigma extents: the exact AABB of the 3-sigma ellipse
-    # (see module docstring, deviation 2), clamped like the radius
-    ext_x = jnp.minimum(jnp.ceil(3.0 * jnp.sqrt(cov_a)), cfg.max_radius_px)
-    ext_y = jnp.minimum(jnp.ceil(3.0 * jnp.sqrt(cov_c)), cfg.max_radius_px)
+    # per-axis extents: the exact AABB of the CONTRIBUTION ellipse.
+    # The compositing gate is alpha = opa*exp(-Q/2) >= alpha_min
+    # (rasterize_tiled._chunk_common), so a pixel can only receive
+    # contribution inside Q <= q_max = 2*ln(opa/alpha_min); the CUDA
+    # 3-sigma cutoff is Q <= 9. The rect uses min(9, q_max) — for
+    # opacities below alpha_min*e^4.5 ~ 0.353 this is strictly tighter
+    # than 3-sigma with IDENTICAL output (the excluded pixels are
+    # exactly the ones the per-pixel gate rejects; same guarantee as
+    # binning's tile-ellipse cull, with the same 1e-3 gate margin so f32
+    # rounding can never exclude a boundary-passing pixel). Opacity
+    # annealing ([0.02, 0.55] in training) makes this the main
+    # candidate-domain lever. The `radii` OUTPUT keeps CUDA 3-sigma
+    # semantics (it drives densification pruning); per-axis extents vs
+    # the CUDA isotropic radius are module-docstring deviation 2.
+    opa_col = opacities.reshape(-1)
+    q_max = 2.0 * jnp.log(
+        jnp.maximum(opa_col, 1e-12) / (cfg.alpha_min * (1.0 - 1e-3))
+    )
+    s_eff = jnp.sqrt(jnp.clip(q_max, 0.0, 9.0))
+    ext_x = jnp.minimum(jnp.ceil(s_eff * jnp.sqrt(cov_a)), cfg.max_radius_px)
+    ext_y = jnp.minimum(jnp.ceil(s_eff * jnp.sqrt(cov_c)), cfg.max_radius_px)
     tiles_x = -(-w // cfg.tile)
     tiles_y = -(-h // cfg.tile)
     ex = jax.lax.stop_gradient(ext_x)
@@ -253,8 +288,11 @@ def project_gaussians(
     rect = jnp.stack([x0, y0, x1, y1], axis=-1) * visible[:, None].astype(jnp.int32)
 
     # --- SH -> RGB ------------------------------------------------------
-    dirs = means - camera.campos[None, :]
-    dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+    dx = mx_ - camera.campos[0]
+    dy_ = my_ - camera.campos[1]
+    dz = mz_ - camera.campos[2]
+    dnrm = jnp.sqrt(dx * dx + dy_ * dy_ + dz * dz) + 1e-12
+    dirs = jnp.stack([dx / dnrm, dy_ / dnrm, dz / dnrm], axis=-1)
     rgb_raw = eval_sh(sh_degree, features, dirs) + 0.5
     rgb = jnp.maximum(rgb_raw, 0.0)  # clamp -> zero grad below 0, like CUDA
 

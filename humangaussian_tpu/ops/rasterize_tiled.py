@@ -92,7 +92,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from humangaussian_tpu.core.camera import Camera
-from humangaussian_tpu.ops.binning import build_pair_lists, resolve_big_capacity
+from humangaussian_tpu.ops.binning import build_pair_lists, resolve_class_blocks
 from humangaussian_tpu.ops.projection import RasterizeConfig, project_gaussians
 
 # feature-row layout of the [16, P] pair array. 16 = 10 live features +
@@ -822,26 +822,22 @@ class _CoreStatics(NamedTuple):
     k_cap: int  # tile_capacity
     num_tiles: int
     n_cap: int  # active (class, depth)-rank cap
-    b_cap: int  # big-class capacity (binning.resolve_big_capacity)
-    side: int  # big-class rect side (cfg.rect_side)
-    s_side: int  # small-class rect side (min(side, 2))
-    dom: int  # candidate domain = side^2*b_cap + s_side^2*(n_cap-b_cap)
+    blocks: tuple  # static ((w, h, cap), ...) class-block chain
+    dom: int  # candidate domain = sum_k w_k*h_k*cap_k
     sort_routing: bool  # backward carry: multi-payload sort vs gather
 
 
 def _reduce_candidates(dpr, cs: _CoreStatics):
     """[dom, 16] candidate-order gradient rows -> [n_cap, 16] rows in
-    (class, depth) order: two static reshapes + a concat (the dual-class
+    (class, depth) order: one static reshape-sum per class block (the
     j-major layout makes the per-Gaussian segment sum shape-static)."""
-    lsize = cs.side * cs.side * cs.b_cap
     parts = []
-    if cs.b_cap > 0:
+    off = 0
+    for bw, bh, cap in cs.blocks:
+        sz = bw * bh * cap
         parts.append(jnp.sum(
-            dpr[:lsize].reshape(cs.side * cs.side, cs.b_cap, _NF), axis=0))
-    n_s = cs.n_cap - cs.b_cap
-    if n_s > 0:
-        parts.append(jnp.sum(
-            dpr[lsize:].reshape(cs.s_side * cs.s_side, n_s, _NF), axis=0))
+            dpr[off:off + sz].reshape(bw * bh, cap, _NF), axis=0))
+        off += sz
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
@@ -1038,17 +1034,16 @@ def _render_core_bwd(cs: _CoreStatics, tile_shard, res, g_out):
 
 
 def _reduce_cols(col, cs: _CoreStatics):
-    """[dom] candidate-order column -> [n_classes, n_cap]-compatible
-    stack for summing: returns a [k, n_cap] array whose axis-0 sum is
-    the per-Gaussian reduction (k = max slots). Used by the sort-routing
-    branch where gradients arrive as separate columns."""
-    lsize = cs.side * cs.side * cs.b_cap
-    n_s = cs.n_cap - cs.b_cap
+    """[dom] candidate-order column -> [k, n_cap]-compatible stack for
+    summing: returns a [k, n_cap] array whose axis-0 sum is the
+    per-Gaussian reduction (k = max slots over class blocks). Used by
+    the sort-routing branch where gradients arrive as separate columns."""
     parts = []
-    if cs.b_cap > 0:
-        parts.append(col[:lsize].reshape(cs.side * cs.side, cs.b_cap))
-    if n_s > 0:
-        parts.append(col[lsize:].reshape(cs.s_side * cs.s_side, n_s))
+    off = 0
+    for bw, bh, cap in cs.blocks:
+        sz = bw * bh * cap
+        parts.append(col[off:off + sz].reshape(bw * bh, cap))
+        off += sz
     if len(parts) == 1:
         return parts[0]
     # pad slot axes to a common k, concat along the rank axis
@@ -1125,10 +1120,8 @@ def _core_statics(n, h, w, cfg, tile_capacity, pair_capacity, interpret,
         raise ValueError("tile_capacity must be a multiple of 128")
     n_cap = n if active_cap is None else min(active_cap, n)
     num_tiles = s.tiles_x * s.tiles_y
-    side = cfg.rect_side
-    b_cap = resolve_big_capacity(n_cap, cfg)
-    s_side = min(side, 2)
-    dom = side * side * b_cap + s_side * s_side * (n_cap - b_cap)
+    blocks = resolve_class_blocks(n_cap, cfg)
+    dom = sum(w * h * c for (w, h, c) in blocks)
     p_cap = _resolve_pair_capacity(n_cap, cfg.rect_side**2, cfg,
                                    pair_capacity)
     # the dual-class domain can undercut the requested budget; the pair
@@ -1151,8 +1144,8 @@ def _core_statics(n, h, w, cfg, tile_capacity, pair_capacity, interpret,
         sort_routing = cfg.bwd_routing == "sort"
     return _CoreStatics(
         s=s, p_cap=p_cap, lanes=lanes, c_cap=c_cap, k_cap=tile_capacity,
-        num_tiles=num_tiles, n_cap=n_cap, b_cap=b_cap, side=side,
-        s_side=s_side, dom=dom, sort_routing=sort_routing,
+        num_tiles=num_tiles, n_cap=n_cap, blocks=blocks, dom=dom,
+        sort_routing=sort_routing,
     )
 
 
@@ -1183,7 +1176,7 @@ def _bin_one(means, scales, quats, features, opacities, alive, camera,
     )
     fmat = _feature_matrix(prims)
     starts_c = jnp.minimum(pairs.starts[:-1], cs.p_cap)
-    assert pairs.b_cap == cs.b_cap and pairs.dom == cs.dom
+    assert pairs.blocks == cs.blocks and pairs.dom == cs.dom
     return (prims, fmat, pairs.order, pairs.sorted_gid, pairs.sorted_tile,
             pairs.cand, starts_c, pairs.counts, pairs.lens, pairs.overflow)
 
