@@ -1,0 +1,114 @@
+"""Contention-controlled camera-DP scaling measurement (verdict r4 #6).
+
+The round-3/4 scaling number (0.248 at 8 virtual devices) was dominated
+by a measured 3.6x core-oversubscription confound: all 8 "devices" were
+threads on one 4-core host. Here each mesh member is a SEPARATE OS
+process pinned to its OWN core with XLA:CPU threading disabled
+(benchmarks/scaling_worker.py), joined by jax.distributed + gloo — the
+process/topology layout of a real multi-host TPU deployment.
+
+Fixed global batch B=8 cameras. For N in {1, 2, 4} (4 physical cores):
+  t_solo(B/N): one pinned process, B/N cameras, no mesh.
+  t_dp(N):     N pinned processes, B/N cameras each, global DP mesh.
+  efficiency(N) = t_solo(B/N) / t_dp(N)   (1.0 = free scaling)
+
+Writes benchmarks/scaling_r5.json with the measured efficiencies plus
+the round-4 analytic ICI projection carried alongside (the psum volume
+is unchanged).
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "benchmarks", "scaling_worker.py")
+GLOBAL_BATCH = int(os.environ.get("SCALE_GLOBAL_BATCH", "8"))
+ITERS = os.environ.get("SCALE_ITERS", "6")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _parse(out):
+    for line in out.splitlines():
+        if line.startswith("RESULT"):
+            return dict(kv.split("=") for kv in line.split()[1:])
+    raise RuntimeError(f"no RESULT line:\n{out[-3000:]}")
+
+
+def run_solo(per_batch, core=0):
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env.update(SCALE_MODE="solo", SCALE_CORE=str(core),
+               SCALE_BATCH=str(per_batch), SCALE_ITERS=ITERS)
+    p = subprocess.run([sys.executable, WORKER], env=env, timeout=1800,
+                       capture_output=True, text=True)
+    assert p.returncode == 0, p.stdout + p.stderr
+    return float(_parse(p.stdout)["step_s"])
+
+
+def run_dp(nproc, per_batch):
+    port = _free_port()
+    env_base = {k: v for k, v in os.environ.items()
+                if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = []
+    for pid in range(nproc):
+        env = dict(env_base,
+                   SCALE_MODE="dp", SCALE_CORE=str(pid),
+                   SCALE_BATCH=str(per_batch), SCALE_ITERS=ITERS,
+                   JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                   JAX_NUM_PROCESSES=str(nproc),
+                   JAX_PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER], env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    times = []
+    for p in procs:
+        out, _ = p.communicate(timeout=1800)
+        assert p.returncode == 0, out[-4000:]
+        times.append(float(_parse(out)["step_s"]))
+    return max(times)  # the step is collective-synchronized; worst wins
+
+
+def main():
+    results = {"global_batch": GLOBAL_BATCH, "method": "pinned-process"}
+    effs = {}
+    for n in (1, 2, 4):
+        per = GLOBAL_BATCH // n
+        t_solo = run_solo(per)
+        print(f"solo  b={per}: {t_solo:.3f} s/step", flush=True)
+        if n == 1:
+            t_dp = run_dp(1, per)
+        else:
+            t_dp = run_dp(n, per)
+        eff = t_solo / t_dp
+        effs[n] = eff
+        results[f"t_solo_b{per}"] = t_solo
+        results[f"t_dp_n{n}"] = t_dp
+        results[f"efficiency_n{n}"] = eff
+        print(f"dp n={n} (b={per}/proc): {t_dp:.3f} s/step  "
+              f"efficiency {eff:.3f}", flush=True)
+    results["headline_efficiency"] = effs[max(effs)]
+    # round-4 analytic ICI projection rides along unchanged: 262 KB/step
+    # psum at >= 100 GB/s ICI -> >= 95% projected on real chips
+    results["ici_projection"] = {
+        "psum_bytes_per_step": 262_000,
+        "projected_efficiency": 0.95,
+        "source": "benchmarks/scaling_r4.json",
+    }
+    out = os.path.join(REPO, "benchmarks", "scaling_r5.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -7,11 +7,16 @@ This measures the raw primitive that any such kernel is built from: a
 windowed stream of small async copies (one per gathered row) from HBM,
 W outstanding at a time.
 
-Rows: 64 B ([16] f32, the pair-feature row) and 512 B ([128] f32) to
-separate DMA-issue overhead from bandwidth. Random and sorted index
-streams to expose locality sensitivity. If the measured ns/row is not
-clearly below XLA's ns/idx at the same size, the DMA-routing kernel
-idea is dead and the sort/gather glue stands as the hardware floor.
+MEASURED CONSTRAINT (round 5): Mosaic REJECTS HBM slices narrower
+than the 128-lane tiling ("Slice shape along dimension 1 must be
+aligned to tiling (128)") — a [16]-f32 (64 B) pair-feature row cannot
+be DMA'd individually at all. The minimum per-row DMA is 512 B, an 8x
+byte amplification over the 64 B payload, so this probe measures the
+512 B-row case that IS expressible; the per-64B-row effective cost is
+at least that number. Random and sorted index streams expose locality
+sensitivity. If the measured ns/row is not clearly below XLA's ns/idx
+at the same size, the DMA-routing kernel idea is dead and the
+sort/gather glue stands as the hardware floor.
 """
 import functools
 import os
@@ -29,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ITERS = int(os.environ.get("ITERS", "5"))
-W = 16  # outstanding DMAs
+W = int(os.environ.get("W", "16"))  # outstanding DMAs
 
 
 def gather_kernel(idx_ref, src_hbm, out_hbm, sem, *, r):
@@ -87,11 +92,11 @@ def bench(name, f, *args):
 
 
 rng = np.random.RandomState(0)
-for r in [462_848]:
+for r in [131_072]:  # idx rides SMEM scalar-prefetch (1 MB cap)
     n = r
     idx_rand = jnp.asarray(rng.randint(0, n, size=r).astype(np.int32))
     idx_sort = jnp.sort(idx_rand)
-    for width in [16, 128]:
+    for width in [128]:
         src = jnp.asarray(rng.randn(n, width).astype(np.float32))
         bench(f"pallas dma w{width} rand",
               lambda s, i: dma_gather(s, i, width), src, idx_rand)
