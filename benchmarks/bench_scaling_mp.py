@@ -97,6 +97,32 @@ def main():
         print(f"dp n={n} (b={per}/proc): {t_dp:.3f} s/step  "
               f"efficiency {eff:.3f}", flush=True)
     results["headline_efficiency"] = effs[max(effs)]
+    # bare-collective latency at N=4: the gloo-over-TCP transport the
+    # CPU proxy pays per step (real ICI is ~us-class at this volume)
+    port = _free_port()
+    env_base = {k: v for k, v in os.environ.items()
+                if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = []
+    for pid in range(4):
+        env = dict(env_base, SCALE_MODE="psum", SCALE_CORE=str(pid),
+                   SCALE_BATCH="2", SCALE_ITERS="20",
+                   JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                   JAX_NUM_PROCESSES="4", JAX_PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER], env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    lat = []
+    for p in procs:
+        out, _ = p.communicate(timeout=1800)
+        assert p.returncode == 0, out[-4000:]
+        lat.append(float(_parse(out)["step_s"]))
+    results["gloo_allreduce_s_n4"] = max(lat)
+    t4 = results["t_dp_n4"]
+    adj = results["t_solo_b2"] / max(t4 - max(lat), 1e-9)
+    results["efficiency_n4_minus_proxy_transport"] = adj
+    print(f"gloo allreduce latency n=4: {max(lat):.3f} s; "
+          f"efficiency with proxy transport removed: {adj:.3f}",
+          flush=True)
     # round-4 analytic ICI projection rides along unchanged: 262 KB/step
     # psum at >= 100 GB/s ICI -> >= 95% projected on real chips
     results["ici_projection"] = {

@@ -93,6 +93,49 @@ def batch_inputs(system, scene, key):
     return images, depth3, pose, cond
 
 
+def train_vae_ae(system, target_scene, key, steps=250, lr=2e-3):
+    """Autoencoder pretraining of the tiny VAE on target renders.
+
+    With a RANDOM VAE the sampled latents carry O(1) noise (untrained
+    logvar) and the encoder's random Jacobian scrambles color
+    directions — the first full efficacy run measurably drove the scene
+    AWAY from the target through it. The real pipeline's sd-vae-ft-mse
+    is a good autoencoder; 250 recon steps (+ logvar -> -8 so sampling
+    noise is small) restores that property for the toy loop."""
+    g = system.guidance
+    vae = g.vae
+    params = g.vae_params
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+    s = g.cfg.image_size
+
+    @jax.jit
+    def ae_step(params, opt_state, imgs):
+        x = jax.image.resize(imgs, (imgs.shape[0], s, s, 3),
+                             "bilinear") * 2.0 - 1.0
+
+        def loss_fn(p):
+            mean, logvar = vae.apply(p, x, method=vae.encode)
+            recon = vae.apply(p, mean, method=vae.decode)
+            return (jnp.mean((recon - x) ** 2)
+                    + 0.02 * jnp.mean((logvar + 8.0) ** 2))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for i in range(steps):
+        key, kb = jax.random.split(key)
+        rgb, depth3, pose, _ = batch_inputs(system, target_scene, kb)
+        # train on all three image streams the guidance encodes
+        imgs = jnp.concatenate([rgb, depth3, pose], axis=0)
+        params, opt_state, loss = ae_step(params, opt_state, imgs)
+        if i % 50 == 0 or i == steps - 1:
+            print(f"vae-ae step {i}: recon loss {float(loss):.4f}",
+                  flush=True)
+    return params
+
+
 def train_prior(system, target_scene, key, steps=500, lr=2e-3):
     """eps-objective denoiser training of the tiny dual-branch UNet on
     target renders (both branches, pose-conditioned, view-dep text)."""
@@ -172,6 +215,10 @@ def run(prior_steps=500, sds_steps=400, eval_every=50, out_json=None):
     key = jax.random.PRNGKey(0)
     system = build()
     state0, target_scene = make_target_scene(system, jax.random.PRNGKey(42))
+
+    key, kv = jax.random.split(key)
+    vae_params = train_vae_ae(system, target_scene, kv)
+    system.guidance = system.guidance.replace(vae_params=vae_params)
 
     key, kp = jax.random.split(key)
     trained, prior_losses = train_prior(system, target_scene, kp,

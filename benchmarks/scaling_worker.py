@@ -37,10 +37,42 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_cpu_collectives_implementation", "gloo")
 
 import numpy as np  # noqa: E402
+import time  # noqa: E402
 
 
 def main():
     nproc = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if MODE == "psum":
+        # bare collective cost at the DP step's gradient volume: the
+        # CPU-proxy transport (gloo over TCP loopback) pays a fixed
+        # per-step latency that real TPU ICI does not
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from humangaussian_tpu.dist.parallel import multihost_init
+
+        multihost_init()
+        mesh = Mesh(np.array(jax.devices()), ("dp",))
+        x = jax.device_put(
+            jax.numpy.ones((BATCH * 128, 1024), jax.numpy.float32),
+            NamedSharding(mesh, P()))
+
+        @jax.jit
+        def allred(v):
+            return shard_map(
+                lambda a: jax.lax.psum(a, "dp"), mesh=mesh,
+                in_specs=P(), out_specs=P(), check_rep=False)(v)
+
+        y = allred(x)
+        float(y[0, 0])
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            y = allred(y * (1.0 / nproc))
+        float(y[0, 0])
+        dt = (time.perf_counter() - t0) / ITERS
+        print(f"RESULT mode=psum core={CORE} per_proc_batch={BATCH} "
+              f"nproc={nproc} step_s={dt:.4f} loss=0", flush=True)
+        return
     if MODE == "dp":
         from humangaussian_tpu.dist.parallel import (
             make_dp_train_step,

@@ -86,6 +86,12 @@ class RasterizeConfig:
     #   error bound, measured in NUMERICS.md); the gradient-carrying
     #   prefix cumsum in the backward always stays f32.
 
+    def __post_init__(self):
+        # YAML configs deliver lists; the config must stay hashable
+        # (it rides jit closures as a static)
+        if isinstance(self.class_fracs, list):
+            object.__setattr__(self, "class_fracs", tuple(self.class_fracs))
+
     @property
     def rect_side(self) -> int:
         s = int(self.max_tiles_per_gaussian**0.5)
