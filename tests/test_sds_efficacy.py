@@ -24,7 +24,10 @@ sys.path.insert(
 def test_sds_moves_scene_toward_prior():
     from efficacy_sds import run
 
-    r = run(prior_steps=120, sds_steps=60, eval_every=30)
+    # the validated recipe at reduced SDS length (round-5 ablation:
+    # shorter prior training leaves the score field too weak to beat
+    # eval noise; 300/150 reproduced +0.037 red_gap in diagnostics)
+    r = run(prior_steps=300, sds_steps=150, eval_every=50)
     assert r["red_gap_end"] > r["red_gap_start"] + 1e-4, r
     assert r["psnr_end"] >= r["psnr_start"] - 0.05, r
     # the trajectory is non-trivial: the SDS loss actually flowed
