@@ -28,6 +28,30 @@ import numpy as np
 
 
 def main():
+    # Watchdog: the axon relay can wedge such that PJRT client init
+    # blocks forever (observed round 5: >4 h). A hung bench is worse
+    # than a failed one — exit non-zero with a note instead of hanging
+    # the driver. Disarmed once the device answers.
+    import os
+    import threading
+
+    armed = {"on": True}
+
+    def _die():
+        if armed["on"]:
+            import sys
+
+            print(
+                "bench watchdog: TPU backend unresponsive for 900 s "
+                "(axon relay wedged?) — aborting without a measurement",
+                file=sys.stderr, flush=True,
+            )
+            os._exit(3)
+
+    _t = threading.Timer(900.0, _die)
+    _t.daemon = True
+    _t.start()
+
     import jax
 
     # persistent compile cache: repeat bench runs skip the multi-minute
@@ -35,6 +59,12 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
+
+    # first device round-trip disarms the watchdog: the wedge mode
+    # blocks HERE (inside PJRT client init); slow compiles later are
+    # legitimate and uncovered
+    float(jnp.zeros(()) + 1.0)
+    armed["on"] = False
 
     from humangaussian_tpu.core.camera import camera_from_c2w, look_at_c2w
     from humangaussian_tpu.ops.projection import RasterizeConfig
