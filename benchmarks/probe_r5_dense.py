@@ -46,10 +46,20 @@ from humangaussian_tpu.train.loop import active_rank_bucket
 N = int(os.environ.get("N", "460800"))
 BATCH = int(os.environ.get("BATCH", "8"))
 ITERS = int(os.environ.get("ITERS", "4"))
+# overflow-ladder rungs (train/loop.py): FRACS=default|wide|none picks
+# the class_fracs rung, TILE_CAP the per-tile K clamp — measures the
+# step-time cost of rendering the pairs the old caps silently dropped
+TILE_CAP = int(os.environ.get("TILE_CAP", "16384"))
+_FRACS = {
+    "default": (0.5625, 0.25),
+    "wide": (0.75, 0.125),
+    "none": None,
+}[os.environ.get("FRACS", "default")]
 CAPACITY = 1 << 19
 H = W = 1024
 
-cfg = RasterizeConfig(tile=32, max_tiles_per_gaussian=4, pair_factor=4)
+cfg = RasterizeConfig(tile=32, max_tiles_per_gaussian=4, pair_factor=4,
+                      class_fracs=_FRACS)
 cam_cfg = RandomCameraConfig(batch_size=BATCH, height=H, width=W)
 
 
@@ -107,7 +117,7 @@ def measure(tag, pts, scales, opas):
     cam0 = jax.tree.map(lambda x: x[0], cam_objs)
     p0 = project_gaussians(means, scl, quats, sh, op, alive, cam0, 0, cfg)
     pairs0 = build_pair_lists(
-        p0, W // cfg.tile, H // cfg.tile, 16384, cfg,
+        p0, W // cfg.tile, H // cfg.tile, TILE_CAP, cfg,
         pair_capacity=min(4 * bucket, pairs_budget()), active_cap=bucket)
     rw = np.asarray(p0.rect[:, 2] - p0.rect[:, 0])
     rh = np.asarray(p0.rect[:, 3] - p0.rect[:, 1])
@@ -125,7 +135,7 @@ def measure(tag, pts, scales, opas):
     def loss(m):
         out = rasterize_tiled_batch(
             m, scl, quats, sh, op, alive, cam_objs, bg, 0, cfg,
-            tile_capacity=16384, active_cap=bucket)
+            tile_capacity=TILE_CAP, active_cap=bucket)
         return (jnp.sum(out["image"]) + jnp.sum(out["alpha"])
                 + jnp.sum(out["depth"]) * 1e-3)
 

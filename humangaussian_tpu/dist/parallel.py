@@ -114,6 +114,7 @@ def make_dp_train_step(system, mesh: Mesh, axis: str = "data"):
                 "loss_opaque": jax.lax.psum(aux["loss_opaque"], axis),
                 "grad_norm": jax.lax.pmax(aux["grad_norm"], axis),
                 "overflow": jax.lax.pmax(aux["overflow"], axis),
+                "overflow_spill": jax.lax.pmax(aux["overflow_spill"], axis),
             }
             return loss, aux, param_grads, means2d_grad
 
@@ -168,6 +169,7 @@ def make_dp_train_step(system, mesh: Mesh, axis: str = "data"):
             "loss_opaque": aux["loss_opaque"],
             "grad_norm": aux["grad_norm"],
             "overflow": aux["overflow"],
+            "overflow_spill": aux["overflow_spill"],
             "n_alive": scene.num_alive,
         }
         return (

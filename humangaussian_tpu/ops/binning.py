@@ -124,6 +124,11 @@ class PairLists(NamedTuple):
     overflow: jnp.ndarray  # [] pairs dropped (K cap + budget + demotion)
     blocks: tuple  # static ((w, h, cap), ...) class-block layout
     dom: int  # static candidate domain size
+    overflow_spill: jnp.ndarray | None = None  # [] the class-cap
+    #     demotion component of `overflow` alone — separable because its
+    #     fix (shift class_fracs toward (2,2); train/loop.py ladder)
+    #     differs from the K-cap/budget fixes (grow tile_cap / pair
+    #     budget); probe_r5_overflow.py measures all three
 
 
 class TileBins(NamedTuple):
@@ -389,6 +394,7 @@ def build_pair_lists(
         overflow=overflow,
         blocks=blocks,
         dom=dom,
+        overflow_spill=jnp.asarray(demoted_lost, jnp.int32),
     )
 
 

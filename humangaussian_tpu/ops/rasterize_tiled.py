@@ -1178,10 +1178,11 @@ def _bin_one(means, scales, quats, features, opacities, alive, camera,
     starts_c = jnp.minimum(pairs.starts[:-1], cs.p_cap)
     assert pairs.blocks == cs.blocks and pairs.dom == cs.dom
     return (prims, fmat, pairs.order, pairs.sorted_gid, pairs.sorted_tile,
-            pairs.cand, starts_c, pairs.counts, pairs.lens, pairs.overflow)
+            pairs.cand, starts_c, pairs.counts, pairs.lens, pairs.overflow,
+            pairs.overflow_spill)
 
 
-def _finish(acc_b, prims_b, overflow, background, cs, h, w, batched):
+def _finish(acc_b, prims_b, overflow, spill, background, cs, h, w, batched):
     b = acc_b.shape[0]
     out = jax.vmap(lambda a: _assemble(a, background, cs.s, h, w))(acc_b)
     if not batched:
@@ -1189,7 +1190,8 @@ def _finish(acc_b, prims_b, overflow, background, cs, h, w, batched):
         radii, visible = prims_b.radii[0], prims_b.visible[0]
     else:
         radii, visible = prims_b.radii, prims_b.visible
-    out.update(radii=radii, visible=visible, overflow=jnp.sum(overflow))
+    out.update(radii=radii, visible=visible, overflow=jnp.sum(overflow),
+               overflow_spill=jnp.sum(spill))
     return out
 
 
@@ -1221,12 +1223,13 @@ def _rasterize_impl(means, scales, quats, features, opacities, alive,
             for i in range(b_cams)
         ]
         (prims_b, fmat_b, order_b, gid_b, skey_b, ckey_b, starts_b,
-         counts_b, lens_b, ovf_b) = jax.tree.map(
+         counts_b, lens_b, ovf_b, spill_b) = jax.tree.map(
             lambda *xs: jnp.stack(xs), *per_cam)
     else:
         outs = bin_cam(cameras)
         (prims_b, fmat_b, order_b, gid_b, skey_b, ckey_b, starts_b,
-         counts_b, lens_b, ovf_b) = jax.tree.map(lambda x: x[None], outs)
+         counts_b, lens_b, ovf_b, spill_b) = jax.tree.map(
+            lambda x: x[None], outs)
 
     b = fmat_b.shape[0]
     tileid = jnp.tile(jnp.arange(cs.num_tiles, dtype=jnp.int32), b)
@@ -1235,7 +1238,8 @@ def _rasterize_impl(means, scales, quats, features, opacities, alive,
         tileid, cs, tile_shard,
     )
     acc_b = acc.reshape(b, cs.num_tiles, 8, cs.s.pix)
-    return _finish(acc_b, prims_b, ovf_b, background, cs, h, w, batched)
+    return _finish(acc_b, prims_b, ovf_b, spill_b, background, cs, h, w,
+                   batched)
 
 
 def rasterize_tiled(

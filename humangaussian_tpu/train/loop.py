@@ -83,7 +83,23 @@ def run_training(
     #     the tile-capacity ladder (VERDICT r2 #3: adaptive response
     #     instead of silent deepest-first truncation)
     overflow_patience: int = 3,  # consecutive logged rows over threshold
-    tile_cap_max: int = 16384,
+    tile_cap_max: int = 65536,  # k_cap is a pure clamp in the paged
+    #     kernel (no array is sized by it; total work stays bounded by
+    #     the pair budget), so the ladder may grow it far past the old
+    #     16384 — a concentrated converged-like scene under a regular
+    #     camera packs 24-54k pairs into single tiles, and 65536 renders
+    #     it drop-free (benchmarks/probe_r5_overflow.py shell regime:
+    #     1.41M K-cap drops at 16384 -> 0 at 65536, live pairs 2.6M ->
+    #     4.0M — the dropped content becomes real compositing work)
+    class_fracs_ladder: tuple = ((0.75, 0.125), None),  # second ladder
+    #     axis, engaged once tile_cap is maxed: persistent overflow then
+    #     means class-cap spill — a mid-training scene whose (2,2)-class
+    #     population exceeds its static cap (probe_r5_overflow bloat
+    #     regime, the rehearsal_r5 dense-phase drops). Each rung shifts
+    #     the candidate-domain split toward (2,2); the final rung None
+    #     is the dual-class layout (dom = 4n, spill structurally
+    #     impossible at rect<=2x2). Costs one recompile + a larger
+    #     candidate domain per rung, engaged only when needed.
     progress_path: str | None = None,  # % progress file (ProgressCallback)
 ):
     """Train to max_steps. Returns (state, metrics_history)."""
@@ -98,9 +114,11 @@ def run_training(
     bucket = active_rank_bucket(alive_now, cfg.capacity)
     tile_cap = cfg.tile_capacity
     ovf_streak = 0
+    fracs = "cfg"  # class_fracs ladder position (system.train_step)
+    fracs_rung = 0
 
     for i in range(start_step, max_steps):
-        state, metrics = system.train_step(state, bucket, tile_cap)
+        state, metrics = system.train_step(state, bucket, tile_cap, fracs)
         state, dens_info = system.maybe_densify(state)
         # host-side step counter: state.step is a device array and
         # int(state.step) would force a BLOCKING fetch every iteration —
@@ -164,16 +182,43 @@ def run_training(
             # grow it 1.5x (one recompile per rung) instead of silently
             # dropping image content every step
             ovf_streak = ovf_streak + 1 if ovf > overflow_grow_threshold else 0
-            if ovf_streak >= overflow_patience and tile_cap < tile_cap_max:
-                new_cap = min(
-                    -(-int(tile_cap * 1.5) // 128) * 128, tile_cap_max
-                )
-                log_fn(
-                    f"step {step}: overflow persisted {ovf_streak} checks "
-                    f"({ovf} pairs) — tile_capacity {tile_cap} -> {new_cap}"
-                )
-                tile_cap = new_cap
-                ovf_streak = 0
+            if ovf_streak >= overflow_patience:
+                spill = int(row.get("overflow_spill", 0))
+                spill_bound = spill >= ovf // 2  # class-cap demotion
+                #   dominates — growing tile_cap can't help; go straight
+                #   to the class_fracs axis
+                if spill_bound and fracs_rung < len(class_fracs_ladder):
+                    fracs = class_fracs_ladder[fracs_rung]
+                    fracs_rung += 1
+                    log_fn(
+                        f"step {step}: overflow persisted {ovf_streak} "
+                        f"checks ({ovf} pairs, {spill} class-spill) — "
+                        f"class_fracs -> {fracs}"
+                    )
+                    ovf_streak = 0
+                elif tile_cap < tile_cap_max:
+                    new_cap = min(
+                        -(-int(tile_cap * 1.5) // 128) * 128, tile_cap_max
+                    )
+                    log_fn(
+                        f"step {step}: overflow persisted {ovf_streak} "
+                        f"checks ({ovf} pairs) — tile_capacity {tile_cap} "
+                        f"-> {new_cap}"
+                    )
+                    tile_cap = new_cap
+                    ovf_streak = 0
+                elif fracs_rung < len(class_fracs_ladder):
+                    # tile_cap maxed: remaining persistent overflow is
+                    # class-cap spill (or budget) — both shrink by
+                    # shifting the candidate-domain split toward (2,2)
+                    fracs = class_fracs_ladder[fracs_rung]
+                    fracs_rung += 1
+                    log_fn(
+                        f"step {step}: overflow persisted {ovf_streak} "
+                        f"checks ({ovf} pairs) at tile_capacity "
+                        f"{tile_cap} — class_fracs -> {fracs}"
+                    )
+                    ovf_streak = 0
             history.append(row)
             if logger is not None:
                 logger.log_scalars(step, row)

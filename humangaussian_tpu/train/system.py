@@ -177,11 +177,20 @@ class GaussianDreamerSystem:
     def render_batch(self, scene: GaussianScene, cameras: CameraBatch,
                      height: int, width: int, background=None,
                      means2d_offset=None, active_cap=None, raster_cfg=None,
-                     tile_cap=None):
+                     tile_cap=None, class_fracs="cfg"):
         """vmapped tiled render over the camera batch. Returns dict of
-        stacked images plus radii [B, C]."""
+        stacked images plus radii [B, C].
+
+        `class_fracs` ("cfg" = keep the config's value) overrides the
+        candidate-domain class split — train/loop.py grows it on a
+        ladder when dense-phase class-spill overflow persists (a
+        mid-training scene whose (2,2)-class population exceeds its
+        static cap loses the spilled splats' right/bottom tiles;
+        ops/binning.py demoted_lost)."""
         bg = self.background if background is None else background
         rcfg = self.raster_cfg if raster_cfg is None else raster_cfg
+        if class_fracs != "cfg":
+            rcfg = dataclasses.replace(rcfg, class_fracs=class_fracs)
         if means2d_offset is None:
             means2d_offset = jnp.zeros((scene.capacity, 2), jnp.float32)
 
@@ -228,6 +237,7 @@ class GaussianDreamerSystem:
         self, params, offset, scene_template, cameras, pose, text3, t,
         key, step, axis_name=None, n_shards=1, global_batch=None,
         sample_idx=None, guidance=None, active_cap=None, tile_cap=None,
+        class_fracs="cfg",
     ):
         """Loss over a (shard of the) camera batch.
 
@@ -243,6 +253,7 @@ class GaussianDreamerSystem:
         out = self.render_batch(
             scene, cameras, self.camera_cfg.height, self.camera_cfg.width,
             means2d_offset=offset, active_cap=active_cap, tile_cap=tile_cap,
+            class_fracs=class_fracs,
         )
         images = out["image"]  # [b,H,W,3]
         depths = out["depth"][..., None]  # [b,H,W,1]
@@ -294,6 +305,7 @@ class GaussianDreamerSystem:
             "loss_opaque": loss_opaque,
             "grad_norm": g_out["grad_norm"],
             "overflow": jnp.max(out["overflow"]),
+            "overflow_spill": jnp.max(out["overflow_spill"]),
         }
         return loss, aux
 
@@ -326,7 +338,7 @@ class GaussianDreamerSystem:
 
     # ---- the train step ----------------------------------------------
     def train_step(self, state: TrainState, active_cap: int | None = None,
-                   tile_cap: int | None = None):
+                   tile_cap: int | None = None, class_fracs="cfg"):
         """Guidance (the big UNet/VAE param pytrees) rides as a jit
         ARGUMENT — closing over it would capture gigabytes of constants
         in the compiled program.
@@ -338,12 +350,18 @@ class GaussianDreamerSystem:
 
         `tile_cap` (static) overrides cfg.tile_capacity — train/loop.py
         grows it on a ladder when pair overflow persists (dense scenes
-        exceed the per-tile pair cap after densification)."""
-        return self._train_step(state, self.guidance, active_cap, tile_cap)
+        exceed the per-tile pair cap after densification).
 
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
+        `class_fracs` (static; "cfg" keeps the config value) is the
+        second ladder axis: once tile_cap is maxed, persistent overflow
+        means class-cap spill — the loop shifts the candidate-domain
+        split toward the (2,2) class (render_batch docstring)."""
+        return self._train_step(
+            state, self.guidance, active_cap, tile_cap, class_fracs)
+
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
     def _train_step(self, state: TrainState, guidance, active_cap=None,
-                    tile_cap=None):
+                    tile_cap=None, class_fracs="cfg"):
         cfg = self.cfg
         key, k_guid, cameras, pose, text3, t = self.sample_step_inputs(state)
         step = state.step
@@ -354,7 +372,7 @@ class GaussianDreamerSystem:
             return self.batch_loss(
                 params, offset, state.scene, cameras, pose, text3, t,
                 k_guid, step, guidance=guidance, active_cap=active_cap,
-                tile_cap=tile_cap,
+                tile_cap=tile_cap, class_fracs=class_fracs,
             )
 
         (loss, aux), grads = jax.value_and_grad(
@@ -386,6 +404,7 @@ class GaussianDreamerSystem:
             "loss_opaque": aux["loss_opaque"],
             "grad_norm": aux["grad_norm"],
             "overflow": aux["overflow"],
+            "overflow_spill": aux["overflow_spill"],
             "n_alive": scene.num_alive,
         }
         return (

@@ -133,6 +133,11 @@ class TestClassSemantics:
         n_wide = counts.get(0, 0) + counts.get(1, 0)
         assert n_wide > blocks[0][2] + blocks[1][2], counts
         assert int(pairs.overflow) > 0
+        # the demotion component is reported separately (train/loop.py
+        # uses it to pick the class_fracs ladder axis over tile_cap);
+        # with an ample K cap and pair budget ALL overflow here is spill
+        assert int(pairs.overflow_spill) == int(pairs.overflow)
+        assert int(pairs.overflow_spill) > 0
 
     def test_opacity_extents_match_oracle(self):
         """Low-opacity splats get tighter rects; the render must still

@@ -121,3 +121,98 @@ class TestActiveRankBucket:
             if bk is not None:
                 assert bk % 128 == 0
                 assert bk >= int(alive * 1.05) + 1
+
+
+class _ScriptedSystem:
+    """Minimal system surface for exercising run_training's adaptive
+    overflow ladder without a real render: train_step returns scripted
+    (overflow, overflow_spill) metrics and records the (tile_cap,
+    class_fracs) the loop passed in."""
+
+    class _Cfg:
+        capacity = 1 << 15
+        tile_capacity = 4096
+        max_steps = 100
+
+    cfg = _Cfg()
+
+    def __init__(self, script):
+        # script: step -> (overflow, spill)
+        self.script = script
+        self.calls = []  # (step, tile_cap, fracs)
+
+    def init_state(self):
+        import jax.numpy as jnp
+        from types import SimpleNamespace
+
+        scene = SimpleNamespace(alive=jnp.ones((1000,), bool))
+        return SimpleNamespace(scene=scene, step=jnp.zeros((), jnp.int32))
+
+    def train_step(self, state, bucket, tile_cap, fracs="cfg"):
+        import jax.numpy as jnp
+
+        step = int(state.step)
+        self.calls.append((step, tile_cap, fracs))
+        ovf, spill = self.script(step)
+        state.step = state.step + 1
+        metrics = {
+            "loss": jnp.float32(1.0),
+            "n_alive": jnp.int32(1000),
+            "overflow": jnp.int32(ovf),
+            "overflow_spill": jnp.int32(spill),
+        }
+        return state, metrics
+
+    def maybe_densify(self, state):
+        return state, None
+
+
+class TestOverflowLadder:
+    def _run(self, script, steps=40, **kw):
+        sys_ = _ScriptedSystem(script)
+        state = sys_.init_state()
+        run_training(
+            sys_, state, max_steps=steps, val_interval=0, save_dir=None,
+            log_every=1, log_fn=lambda *_: None,
+            overflow_grow_threshold=100, overflow_patience=3, **kw,
+        )
+        return sys_
+
+    def test_kcap_overflow_grows_tile_capacity(self):
+        # persistent overflow with NO spill component: the ladder must
+        # grow tile_cap 1.5x per trip and leave class_fracs alone
+        sys_ = self._run(lambda step: (10_000, 0), steps=10)
+        caps = [c for (_s, c, _f) in sys_.calls]
+        fracs = {f for (_s, _c, f) in sys_.calls}
+        assert caps[0] == 4096 and caps[-1] > 4096
+        assert caps == sorted(caps)
+        assert fracs == {"cfg"}
+
+    def test_spill_overflow_jumps_to_class_fracs(self):
+        # spill-dominated overflow: the loop must take the class_fracs
+        # axis immediately (growing tile_cap cannot reduce demotion).
+        # The scripted scene's spill vanishes once the dual-class rung
+        # (fracs=None, dom=4n) is active — as it structurally must
+        sys_ = _ScriptedSystem(None)
+        sys_.script = lambda step: (
+            (0, 0) if sys_.calls and sys_.calls[-1][2] is None
+            else (10_000, 9_000)
+        )
+        state = sys_.init_state()
+        run_training(
+            sys_, state, max_steps=14, val_interval=0, save_dir=None,
+            log_every=1, log_fn=lambda *_: None,
+            overflow_grow_threshold=100, overflow_patience=3,
+        )
+        caps = {c for (_s, c, _f) in sys_.calls}
+        fracs = [f for (_s, _c, f) in sys_.calls]
+        assert caps == {4096}  # tile_cap untouched
+        assert fracs[0] == "cfg"
+        assert (0.75, 0.125) in fracs  # rung 1 engaged
+        assert fracs[-1] is None  # rung 2 (dual-class, spill-free)
+
+    def test_overflow_subsiding_stops_ladder(self):
+        # overflow below threshold: no rungs ever fire
+        sys_ = self._run(lambda step: (50, 0), steps=8)
+        assert {c for (_s, c, _f) in sys_.calls} == {4096}
+        assert {f for (_s, _c, f) in sys_.calls} == {"cfg"}
